@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in rio_color_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` returns one callable per implemented pipeline; every entry
+with a matching key in ``oracle_sql()`` is verified value-for-value
+against DuckDB at sf=0.01. Column names match between both sides.
 """
 
 from __future__ import annotations
@@ -18,27 +13,73 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages -> geocode -> cellify -> PIP
+    join -> tile render -> rio-color correction. Returns the corrected
+    tiles Dataset (driver checks rows >= 0 / stable schema)."""
+    from rio_color_ray.pipelines.tiles import color_tiles
+
+    return color_tiles(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rio_color_ray.pipelines import geo, tiles
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geocode": geo.geocode_query,
+        "grid_cell_agg": geo.grid_cell_agg,
+        "top_grid_cells": geo.top_grid_cells,
+        "cell_agg_salted_h8": lambda sf: geo.cell_agg_salted(sf, "h3_r8"),
+        "cell_agg_h8": geo.cell_agg_h8,
+        "rect_join": geo.rect_join,
+        "rect_join_semi": lambda sf: geo.rect_join(sf, mode="semi"),
+        "rect_join_anti": lambda sf: geo.rect_join(sf, mode="anti"),
+        "pip_join": geo.pip_join,
+        "render_tiles": tiles.render_tiles,
+        "color_tiles": tiles.color_tiles,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rio_color_ray.sources.pages import pages_sql_cte
+    from rio_color_ray.sources.polygons import make_admin_rects, rects_sql_values
+    from rio_color_ray.stages.cellify import grid_cell_sql
+
+    pages = pages_sql_cte()
+    grid = grid_cell_sql()
+    rects = rects_sql_values(make_admin_rects())
+    rect_match = (
+        "CAST(round(p.lat * 1000000) AS BIGINT) BETWEEN r.min_lat_u AND r.max_lat_u "
+        "AND CAST(round(p.lon * 1000000) AS BIGINT) BETWEEN r.min_lon_u AND r.max_lon_u"
+    )
+
+    return {
+        "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
+        "grid_cell_agg": (
+            f"WITH pages AS ({pages}) "
+            f"SELECT {grid} AS grid_cell, count(*) AS n_pages FROM pages GROUP BY 1"
+        ),
+        "top_grid_cells": (
+            f"WITH pages AS ({pages}) "
+            f"SELECT {grid} AS grid_cell, count(*) AS n_pages FROM pages "
+            f"GROUP BY 1 ORDER BY n_pages DESC, grid_cell LIMIT 20"
+        ),
+        "rect_join": (
+            f"WITH pages AS ({pages}) "
+            f"SELECT p.url AS url, r.admin_id AS admin_id "
+            f"FROM pages p JOIN {rects} ON {rect_match}"
+        ),
+        "rect_join_semi": (
+            f"WITH pages AS ({pages}) "
+            f"SELECT p.url AS url FROM pages p "
+            f"WHERE EXISTS (SELECT 1 FROM {rects} WHERE {rect_match})"
+        ),
+        "rect_join_anti": (
+            f"WITH pages AS ({pages}) "
+            f"SELECT p.url AS url FROM pages p "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {rects} WHERE {rect_match})"
+        ),
+    }

@@ -1,0 +1,182 @@
+"""Geospatial pipelines: pages -> geocode -> cellify -> joins -> aggregates.
+
+Scale notes (the 100 TB design, exercised at sf scale):
+* The pages source is one ``map_batches`` over the documents read — no
+  materialization; blocks stream straight into geocode/cellify (also
+  stateless map_batches, fused by the streaming executor).
+* Aggregates pre-reduce INSIDE map_batches (one row per key per batch)
+  before the ``groupby`` — the all-to-all shuffle moves partial sums, not
+  pages. The salted variant additionally splits hot keys across
+  ``(key, salt)`` before the final reduce (north_rule requirement).
+* Region joins broadcast the small side into actor pools; no shuffle.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..sources.pages import synth_pages_batch
+from ..sources.polygons import make_admin_polygons, make_admin_rects
+from ..stages.cellify import cellify_batch
+from ..stages.geocode import geocode_batch
+from ..stages.pip_stage import PIPJoinStage, RectJoinStage
+
+N_SALT = 16  # salt fan-out for hot-cell aggregation
+
+
+def pages(sf_dir, replicate=1):
+    """The Common-Crawl-style corpus (url, warc_ts, html, text, lang).
+
+    ``replicate > 1`` unions that many deterministic corpus copies
+    (distinct urls/coords) — bench-scale input without external data.
+    """
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    if replicate <= 1:
+        return docs.map_batches(synth_pages_batch, batch_format="pyarrow")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [synth_pages_batch(batch, replica=r) for r in range(replicate)]
+        )
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def cellified(sf_dir, keep_columns=None, replicate=1):
+    """pages -> geocode -> cellify; optionally prune columns early."""
+    ds = (
+        pages(sf_dir, replicate=replicate)
+        .map_batches(geocode_batch, batch_format="pyarrow")
+        .map_batches(cellify_batch, batch_format="pyarrow")
+    )
+    if keep_columns:
+        ds = ds.select_columns(keep_columns)
+    return ds
+
+
+def geocode_query(sf_dir):
+    """url, lat, lon for every page (the oracle-checked geocode)."""
+    return cellified(sf_dir, keep_columns=["url", "lat", "lon"])
+
+
+def _partial_count(key):
+    """Batch-level pre-aggregation: one (key, n) row per key per batch."""
+
+    def agg(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(key, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    return agg
+
+
+def grid_cell_agg(sf_dir):
+    """Pages per 0.5-deg grid cell — partial-sum then tiny shuffle."""
+    ds = cellified(sf_dir, keep_columns=["grid_cell"])
+    partial = ds.map_batches(_partial_count("grid_cell"), batch_format="pandas")
+    out = partial.groupby("grid_cell").aggregate(Sum("n", alias_name="n_pages"))
+    return out
+
+
+def top_grid_cells(sf_dir, k=20):
+    """Densest grid cells; deterministic tie-break on cell id."""
+    return grid_cell_agg(sf_dir).sort(
+        ["n_pages", "grid_cell"], descending=[True, False]
+    ).limit(k)
+
+
+def _salted_partial(key):
+    def agg(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([key, "salt"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    return agg
+
+
+def cell_agg_salted(sf_dir, key="h3_r8"):
+    """Hex-cell aggregation with explicit hot-key salting.
+
+    Stage 1: add ``salt = hash(url) % N_SALT``; partial-count per
+    (cell, salt) inside each batch. Stage 2: groupby (cell, salt) partial
+    reduce. Stage 3: groupby cell final reduce. Hot cells (urban hotspots
+    hold ~30% of pages) are spread over N_SALT reducers before the final
+    tiny combine.
+    """
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        h = np.asarray(
+            pd.util.hash_array(np.asarray(urls.to_pylist(), dtype=object)),
+            dtype=np.uint64,
+        )
+        return batch.append_column(
+            "salt", pa.array((h % N_SALT).astype(np.int64), pa.int64())
+        )
+
+    ds = cellified(sf_dir, keep_columns=["url", key]).map_batches(
+        add_salt, batch_format="pyarrow"
+    )
+    partial = ds.map_batches(_salted_partial(key), batch_format="pandas")
+    mid = partial.groupby([key, "salt"]).aggregate(Sum("n", alias_name="n_mid"))
+    return mid.groupby(key).aggregate(Sum("n_mid", alias_name="n_pages"))
+
+
+def cell_agg_h8(sf_dir):
+    """Pages + distinct domains + language counts per res-8 hex cell."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(domain=batch["url"].str.split("/").str[2])
+        g = batch.groupby("h3_r8").agg(
+            n=("url", "size"), domains=("domain", lambda s: set(s))
+        )
+        g["domains"] = g["domains"].map(sorted)
+        return g.reset_index()
+
+    ds = cellified(sf_dir, keep_columns=["url", "h3_r8"])
+    partial_ds = ds.map_batches(partial, batch_format="pandas")
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        doms = set()
+        for d in group["domains"]:
+            doms.update(d)
+        return pd.DataFrame(
+            {
+                "h3_r8": [group["h3_r8"].iloc[0]],
+                "n_pages": [int(group["n"].sum())],
+                "n_domains": [len(doms)],
+            }
+        )
+
+    return partial_ds.groupby("h3_r8").map_groups(final, batch_format="pandas")
+
+
+def rect_join(sf_dir, mode="inner", concurrency=4):
+    """Broadcast rectangle-region join (oracle-checkable in SQL)."""
+    rects = make_admin_rects()
+    ds = cellified(sf_dir, keep_columns=["url", "lat", "lon"])
+    out = ds.map_batches(
+        RectJoinStage,
+        fn_constructor_args=(rects, mode),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    if mode in ("inner", "left"):
+        return out.select_columns(["url", "admin_id"])
+    return out.select_columns(["url"])
+
+
+def pip_join(sf_dir, mode="inner", concurrency=4):
+    """Broadcast polygon PIP join (STRtree + exact ray-cast)."""
+    polys = make_admin_polygons()
+    ds = cellified(sf_dir, keep_columns=["url", "lat", "lon"])
+    out = ds.map_batches(
+        PIPJoinStage,
+        fn_constructor_args=(polys, mode),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    if mode in ("inner", "left"):
+        return out.select_columns(["url", "admin_id"])
+    return out.select_columns(["url"])
