@@ -26,9 +26,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rio_color_ray.pipelines import geo, tiles
+    from rio_color_ray.pipelines import corpus, geo, knn, tiles
 
     return {
+        # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
         "top_grid_cells": geo.top_grid_cells,
@@ -38,13 +39,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_join_semi": lambda sf: geo.rect_join(sf, mode="semi"),
         "rect_join_anti": lambda sf: geo.rect_join(sf, mode="anti"),
         "pip_join": geo.pip_join,
+        "knn": knn.knn,
+        "knn_cells": knn.knn_cells,
+        # tiles + color
         "render_tiles": tiles.render_tiles,
         "color_tiles": tiles.color_tiles,
+        # text analysis
+        "token_counts": corpus.token_counts,
+        "quality_scores": corpus.quality_scores,
+        "lang_id": corpus.lang_id,
+        "fingerprints": corpus.fingerprints,
+        # dedup
+        "dedup_exact_docs": corpus.dedup_exact_docs,
+        "dedup_exact_pages": corpus.dedup_exact_pages,
+        "near_dup_minhash": corpus.near_dup_pairs_minhash,
+        "near_dup_simhash": corpus.near_dup_pairs_simhash,
+        # similarity search
+        "ann_topk": corpus.ann_topk,
+        "embedding_near_dup": corpus.embedding_near_dup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from rio_color_ray.sources.pages import pages_sql_cte
+    from rio_color_ray.pipelines.knn import knn_sql
+    from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
+    from rio_color_ray.stages.text import QUALITY_SQL
     from rio_color_ray.sources.polygons import make_admin_rects, rects_sql_values
     from rio_color_ray.stages.cellify import grid_cell_sql
 
@@ -81,5 +100,33 @@ def oracle_sql() -> dict[str, str]:
             f"WITH pages AS ({pages}) "
             f"SELECT p.url AS url FROM pages p "
             f"WHERE NOT EXISTS (SELECT 1 FROM {rects} WHERE {rect_match})"
+        ),
+        "knn": knn_sql(),
+        "knn_cells": knn_sql(),
+        "token_counts": (
+            "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "
+            "FROM documents"
+        ),
+        "quality_scores": QUALITY_SQL,
+        "dedup_exact_docs": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "dedup_exact_pages": (
+            f"WITH reps AS (SELECT * FROM (VALUES (0), (1), (2)) v(r)), "
+            f"pr AS (SELECT 'https://' || source || '.example.com/doc/' || "
+            f"(doc_id + r * {REP_STRIDE}) AS url, text "
+            f"FROM documents CROSS JOIN reps) "
+            f"SELECT min(url) AS url FROM pr GROUP BY text"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "WHERE vec_id < 8) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "
+            "         row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "           round(list_cosine_similarity(e.embedding, q.qe), 6) DESC, "
+            "           e.vec_id) AS rank "
+            "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
+            ") WHERE rank <= 10"
         ),
     }

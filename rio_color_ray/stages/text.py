@@ -1,0 +1,160 @@
+"""Text-analysis stages over the documents/pages corpus.
+
+All quality metrics are INTEGER (counts and parts-per-million ratios via
+integer division) so the DuckDB oracle can verify them bit-for-bit — no
+float rounding hazards. Token counting is a single vectorized RE2 kernel
+(``pc.count_substring_regex``), not a Python loop.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = r"\S+"
+_ALPHA_RE = r"[A-Za-z]"
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens): whitespace-delimited token count."""
+    n = pc.count_substring_regex(batch.column("text"), _TOKEN_RE)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(n, pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality metrics per document.
+
+    alpha_ppm  = n_alpha * 1e6 // n_chars          (alphabetic density)
+    token_len_ppm = (n_chars - n_spaces) * 1e6 // max(n_tokens, 1) // 1
+                 -> mean token length in micro-chars
+    quality_ppm = (alpha_ppm + min(n_tokens, 200) * 5000) // 2
+                 (density + length-capped token score, equal weight)
+    """
+    text = batch.column("text")
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+    n_alpha = pc.cast(pc.count_substring_regex(text, _ALPHA_RE), pa.int64()).to_numpy()
+    n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()).to_numpy()
+
+    safe_chars = np.maximum(n_chars, 1)
+    alpha_ppm = n_alpha * 1_000_000 // safe_chars
+    quality_ppm = (alpha_ppm + np.minimum(n_tokens, 200) * 5000) // 2
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_alpha": pa.array(n_alpha, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "alpha_ppm": pa.array(alpha_ppm, pa.int64()),
+            "quality_ppm": pa.array(quality_ppm, pa.int64()),
+        }
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+         // greatest(length(text), 1) AS alpha_ppm,
+       (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+         // greatest(length(text), 1)
+        + least(length(regexp_extract_all(text, '\\S+')), 200) * 5000) // 2
+         AS quality_ppm
+FROM documents
+"""
+
+
+# language-ID: stopword-hit scoring. Deterministic, vectorized via one
+# substring-count kernel per (lang, stopword); argmax with alphabetical
+# tie-break. A heuristic (rows-only driver check) with fixed-case tests.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "que", "de", "los", "una", "por", "con", "para", "es"],
+    "pt": ["o", "a", "e", "de", "que", "do", "da", "em", "um", "para"],
+}
+
+
+class LangIdStage:
+    """Actor: per-language stopword patterns compiled once per actor."""
+
+    def __init__(self):
+        self.langs = sorted(STOPWORDS)
+        self.patterns = {
+            lang: [rf"(?i)\b{w}\b" for w in STOPWORDS[lang]] for lang in self.langs
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        scores = np.zeros((len(self.langs), batch.num_rows), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for pat in self.patterns[lang]:
+                scores[li] += pc.cast(
+                    pc.count_substring_regex(text, pat), pa.int64()
+                ).to_numpy()
+        best = np.argmax(scores, axis=0)  # ties -> lowest index = alphabetical
+        top = scores[best, np.arange(batch.num_rows)]
+        pred = np.where(top > 0, np.asarray(self.langs)[best], "und")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(pred.tolist(), pa.string()),
+                "lang_score": pa.array(top, pa.int64()),
+            }
+        )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Rolling-hash document fingerprint (min 3-gram token hash).
+
+    Tokens are exploded once, hashed vectorized (pd.util.hash_array,
+    deterministic across processes), combined into rolling 3-gram hashes,
+    and segment-reduced with np.minimum.reduceat — no per-row Python.
+    """
+    texts = batch.column("text").to_pylist()
+    token_lists = [t.split() for t in texts]
+    counts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
+    flat = [w for toks in token_lists for w in toks]
+    doc_id = batch.column("doc_id")
+
+    if not flat:
+        return pa.table(
+            {"doc_id": doc_id, "fingerprint": pa.array([0] * len(texts), pa.int64())}
+        )
+    h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+    # rolling 3-gram hash g[i] = h[i] ^ h[i+1]*P1 ^ h[i+2]*P2, valid only
+    # where the whole gram lies inside one document (no cross-doc bleed —
+    # fingerprints must not depend on batch composition). Docs with < 3
+    # tokens fall back to the min token hash.
+    P1, P2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+    g = h.copy()
+    g[:-1] ^= h[1:] * P1
+    g[:-2] ^= h[2:] * P2
+    seg = np.repeat(np.arange(len(texts)), counts)
+    valid3 = np.zeros(len(h), dtype=bool)
+    if len(h) >= 3:
+        valid3[:-2] = seg[:-2] == seg[2:]
+    UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+    gm = np.where(valid3, g, UMAX)
+    starts = np.cumsum(counts) - counts
+    fp = np.zeros(len(texts), dtype=np.uint64)
+    valid = counts > 0
+    if valid.any():
+        min3 = np.minimum.reduceat(gm, starts[valid])
+        min1 = np.minimum.reduceat(h, starts[valid])
+        fp[valid] = np.where(min3 != UMAX, min3, min1)
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "fingerprint": pa.array(
+                (fp % np.uint64(2**63)).astype(np.int64), pa.int64()
+            ),
+        }
+    )

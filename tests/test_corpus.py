@@ -1,0 +1,217 @@
+"""Dedup / text-analysis / kNN / ANN operator tests (sf0.001 + synthetic)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- kNN --------------------------------------------------------------------
+
+
+def _brute_knn_oracle(k=5, n_queries=20, n_docs=500):
+    from rio_color_ray.sources.pages import page_coords_microdeg
+
+    import duckdb
+
+    doc_id = np.arange(n_docs)
+    lat_u, lon_u = page_coords_microdeg(doc_id)
+    src = duckdb.sql(
+        f"SELECT doc_id, source FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    urls = np.asarray(
+        [f"https://{s}.example.com/doc/{d}" for d, s in zip(src.doc_id, src.source)]
+    )
+    rows = []
+    for q in range(n_queries):
+        d2 = (lat_u - lat_u[q]) ** 2 + (lon_u - lon_u[q]) ** 2
+        order = sorted(range(n_docs), key=lambda i: (d2[i], urls[i]))
+        rank = 1
+        for i in order:
+            if i == q:
+                continue
+            rows.append((q, urls[i], rank))
+            rank += 1
+            if rank > k:
+                break
+    return pd.DataFrame(rows, columns=["query_id", "url", "rank"])
+
+
+def test_knn_brute_and_cells_match_oracle(ray_session):
+    from rio_color_ray.pipelines import knn as K
+
+    exp = _brute_knn_oracle(k=5, n_queries=20)
+    got = (
+        K.knn(SF, k=5, n_queries=20)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    cells = (
+        K.knn_cells(SF, k=5, n_queries=20)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(cells[["query_id", "url", "rank"]], exp, check_dtype=False)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def test_token_and_quality_fixed_cases(ray_session):
+    from rio_color_ray.stages.text import quality_batch, token_count_batch
+
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["a  b   c", "", "Hello, World! 42"]})
+    out = token_count_batch(t).to_pydict()
+    assert out["n_tokens"] == [3, 0, 3]
+    q = quality_batch(t).to_pydict()
+    assert q["n_chars"] == [8, 0, 16]
+    assert q["n_alpha"] == [3, 0, 10]
+    assert q["alpha_ppm"][0] == 3 * 1_000_000 // 8
+    assert q["alpha_ppm"][1] == 0
+
+
+def test_langid_fixed_cases(ray_session):
+    from rio_color_ray.stages.text import LangIdStage
+
+    stage = LangIdStage()
+    t = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "the cat and the dog sat in a house that was red",
+                "der Hund und die Katze ist nicht auf der Couch",
+                "le chat et les chiens est dans une maison pour que",
+                "zzz qqq xxx",  # no stopwords anywhere
+            ],
+        }
+    )
+    out = stage(t).to_pydict()
+    assert out["lang_pred"] == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_batch_invariance(ray_session):
+    """Fingerprints must not depend on batch composition (rolling hashes
+    must not bleed across document boundaries)."""
+    from rio_color_ray.stages.text import fingerprint_batch
+
+    texts = ["alpha beta gamma delta", "one two", "x", "", "p q r s t u"]
+    whole = fingerprint_batch(
+        pa.table({"doc_id": list(range(5)), "text": texts})
+    ).to_pydict()
+    single = []
+    for i, t in enumerate(texts):
+        single.extend(
+            fingerprint_batch(pa.table({"doc_id": [i], "text": [t]})).to_pydict()[
+                "fingerprint"
+            ]
+        )
+    assert whole["fingerprint"] == single
+    # identical text -> identical fingerprint; different text -> different
+    a = fingerprint_batch(pa.table({"doc_id": [0], "text": ["a b c d e"]}))
+    b = fingerprint_batch(pa.table({"doc_id": [1], "text": ["a b c d e"]}))
+    assert a.column("fingerprint").to_pylist() == b.column("fingerprint").to_pylist()
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_exact_dedup_pages_keeps_one_per_text(ray_session):
+    from rio_color_ray.pipelines.corpus import dedup_exact_pages
+
+    import duckdb
+
+    from rio_color_ray.sources.pages import REP_STRIDE
+
+    kept = dedup_exact_pages(SF, replicate=3).to_pandas()
+    # 500 distinct texts, three urls each -> 500 keepers: the lexicographic
+    # min url per text (note: string order, so not always replica 0)
+    assert len(kept) == 500
+    exp = duckdb.sql(
+        f"WITH pr AS (SELECT 'https://' || source || '.example.com/doc/' || "
+        f"(doc_id + r * {REP_STRIDE}) AS url, text "
+        f"FROM read_parquet('{SF}/documents.parquet') "
+        f"CROSS JOIN (SELECT * FROM (VALUES (0),(1),(2)) v(r))) "
+        f"SELECT min(url) AS url FROM pr GROUP BY text"
+    ).df()
+    assert set(kept["url"]) == set(exp["url"])
+
+
+def test_minhash_finds_exact_duplicates_and_verifies(ray_session):
+    from rio_color_ray.pipelines.corpus import near_dup_pairs_minhash
+    from rio_color_ray.stages.dedup import MinHashStage, jaccard
+
+    pairs = near_dup_pairs_minhash(SF, replicate=2, threshold=0.8)
+    # every doc's (r0, r1) pair must be present (identical text, J = 1)
+    a_ids = pairs["url_a"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
+    b_ids = pairs["url_b"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
+    replica_pairs = pairs[(a_ids == b_ids)]
+    assert len(replica_pairs) == 500
+    # any extra pairs are genuinely near-duplicate (already verified >= 0.8);
+    # spot-check one against the exact jaccard definition
+    stage = MinHashStage()
+    assert jaccard("a b c d e f", "a b c d e f") == 1.0
+    assert jaccard("a b c d e f", "x y z w v u") == 0.0
+
+
+def test_simhash_identical_docs_collide(ray_session):
+    from rio_color_ray.pipelines.corpus import near_dup_pairs_simhash
+
+    pairs = near_dup_pairs_simhash(SF, replicate=2, max_hamming=3)
+    a_ids = pairs["url_a"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
+    b_ids = pairs["url_b"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
+    assert (a_ids == b_ids).sum() == 500  # all replica pairs found
+
+
+# --- ANN --------------------------------------------------------------------
+
+
+def test_ann_topk_matches_numpy_oracle(ray_session):
+    from rio_color_ray.pipelines.corpus import ann_topk
+
+    got = (
+        ann_topk(SF, k=10, n_queries=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = []
+    for q in range(8):
+        qv = vecs[ids == q][0]
+        s = np.round(vecs @ qv, 6)
+        order = sorted(
+            [i for i in range(len(ids)) if ids[i] != q],
+            key=lambda i: (-s[i], ids[i]),
+        )[:10]
+        rows.extend((q, int(ids[i]), r + 1) for r, i in enumerate(order))
+    exp = pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_embedding_near_dup_synthetic(ray_session, tmp_path):
+    from rio_color_ray.pipelines.corpus import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    # vec 50/51 duplicate vec 0; vec 52 nearly duplicates vec 1
+    dup = np.vstack([base, base[0], base[0], base[1] + 0.001 * rng.standard_normal(64).astype(np.float32)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(53), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in dup], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    pairs = embedding_near_dup(str(tmp_path), threshold=0.95)
+    got = set(zip(pairs["vec_id_a"], pairs["vec_id_b"]))
+    assert {(0, 50), (0, 51), (50, 51), (1, 52)} <= got
