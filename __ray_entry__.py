@@ -26,9 +26,16 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rio_color_ray.pipelines import corpus, geo, knn, tiles
+    from rio_color_ray.pipelines import corpus, geo, knn, relational, tiles
 
     return {
+        # relational (TPC-H-ish + events)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "events_daily": relational.events_daily,
+        "top_users_by_value": relational.top_users_by_value,
+        "distinct_users_per_type": relational.distinct_users_per_type,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -61,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rio_color_ray.pipelines import relational as R
     from rio_color_ray.pipelines.knn import knn_sql
     from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
     from rio_color_ray.stages.text import QUALITY_SQL
@@ -76,6 +84,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_top_orders": R.Q3_SQL,
+        "q5_nation_revenue": R.Q5_SQL,
+        "events_daily": R.EVENTS_DAILY_SQL,
+        "top_users_by_value": R.TOP_USERS_SQL,
+        "distinct_users_per_type": R.DISTINCT_USERS_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "

@@ -1,0 +1,328 @@
+"""Relational pipelines over the TPC-H-ish tables + the events stream.
+
+Money/quantity columns are converted ONCE per batch to exact integers
+(cents / percent, via np.rint on values that are 2-decimal by
+construction), so every aggregate is an int64 sum that matches the DuckDB
+oracle bit-for-bit — no float summation-order hazards.
+
+Join strategy per query (the explicit scale decisions):
+* dimension tables (nation/region/customer-subset) -> BROADCAST merge
+* orders |><| lineitem (both large) -> hash-partitioned join
+  (Ray ``Dataset.join`` in q3; our explicit ``bucketed_hash_join`` in
+  q5 — both demonstrated and oracle-checked)
+* aggregates -> per-batch partial reduce, then a small groupby
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..stages.join import BroadcastJoinStage, broadcast_semi_filter, bucketed_hash_join
+
+Q1_CUTOFF = "1998-09-02"
+Q3_DATE = "1997-01-01"
+
+
+def _read(sf_dir, name, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _int_cents(col):
+    return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir):
+    """TPC-H Q1 analog with exact integer aggregates."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"), pa.scalar(np.datetime64(Q1_CUTOFF, "us")))
+        )
+        qty = np.rint(batch.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        price_c = _int_cents(batch.column("l_extendedprice"))
+        disc_pct = np.rint(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        tax_pct = np.rint(batch.column("l_tax").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_pylist(),
+                "l_linestatus": batch.column("l_linestatus").to_pylist(),
+                "sum_qty": qty,
+                "sum_base_price_cents": price_c,
+                "sum_disc_price_micros": price_c * (100 - disc_pct),
+                "sum_charge_micros2": price_c * (100 - disc_pct) * (100 + tax_pct),
+                "count_order": 1,
+            }
+        )
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price_micros", alias_name="sum_disc_price_micros"),
+        Sum("sum_charge_micros2", alias_name="sum_charge_micros2"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_micros,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_micros2,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir, k=10, num_partitions=16):
+    """BUILDING-segment orders before the cutoff, ranked by revenue.
+
+    customer -> broadcast semi-filter; orders |><| lineitem -> Ray's
+    hash-partitioned Dataset.join; exact integer revenue.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = set(
+        pa.table(cust).filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .to_pylist()
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = broadcast_semi_filter(orders, building, "o_custkey")
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pc.less(b.column("o_orderdate"), pa.scalar(np.datetime64(Q3_DATE, "us")))
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        price_c = _int_cents(batch.column("l_extendedprice"))
+        disc = np.rint(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue_micros": pa.array(price_c * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    joined = orders.join(
+        li,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_orderkey", as_index=False)["revenue_micros"].sum()
+
+    per_order = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
+    )
+    return per_order.sort(
+        ["revenue_micros", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, revenue_micros FROM (
+  SELECT o.o_orderkey,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_micros
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  GROUP BY o.o_orderkey
+) ORDER BY revenue_micros DESC, o_orderkey LIMIT 10
+"""
+
+
+def q5_nation_revenue(sf_dir, n_buckets=16):
+    """Revenue by customer nation — explicit bucketed hash join for the
+    large-large side, broadcast merges for the dimensions."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        price_c = _int_cents(batch.column("l_extendedprice"))
+        disc = np.rint(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "revenue_micros": pa.array(price_c * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(revenue, batch_format="pyarrow")
+    joined = bucketed_hash_join(orders, li, key="o_orderkey", n_buckets=n_buckets)
+
+    cust_nation = cust.merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="c_nationkey",
+        right_on="n_nationkey",
+    )[["c_custkey", "n_name"]]
+
+    with_nation = joined.map_batches(
+        lambda b: b.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")[
+            ["n_name", "revenue_micros"]
+        ],
+        batch_format="pandas",
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("n_name", as_index=False)["revenue_micros"].sum()
+
+    return (
+        with_nation.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_micros
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n_name
+"""
+
+
+def events_daily(sf_dir):
+    """Tumbling 1-day window: events per (day, event_type) + value cents."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        cents = _int_cents(batch.column("value"))
+        df = pd.DataFrame(
+            {
+                "day": day.to_pandas(),
+                "event_type": batch.column("event_type").to_pylist(),
+                "n_events": 1,
+                "value_cents": cents,
+            }
+        )
+        return df.groupby(["day", "event_type"], as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+EVENTS_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def top_users_by_value(sf_dir, k=10):
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "value_cents": _int_cents(batch.column("value")),
+            }
+        )
+        return df.groupby("user_id", as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        .sort(["value_cents", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_USERS_SQL = """
+SELECT user_id, value_cents FROM (
+  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+  FROM events GROUP BY user_id
+) ORDER BY value_cents DESC, user_id LIMIT 10
+"""
+
+
+def distinct_users_per_type(sf_dir):
+    """count(distinct user_id) via two-phase distinct-then-count."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    def count_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "event_type" not in group.columns:
+            return pd.DataFrame(
+                {"event_type": pd.Series([], dtype=object), "n_users": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n_users": [group["user_id"].nunique()],
+            }
+        )
+
+    # per-batch dedup shrinks the shuffle; per-type final exact distinct
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""

@@ -1,0 +1,106 @@
+"""Join operators: broadcast small side + explicit bucketed hash join.
+
+Two large-large strategies, both shuffle-aware:
+
+* ``Dataset.join`` (Ray's built-in hash-partitioned join) — used where
+  available; ``num_partitions`` chosen by the caller.
+* ``bucketed_hash_join`` — the portable explicit pattern (ray_guide
+  "Joins and lookups"): both sides get a ``__bucket = key % B`` column
+  and a side tag, are unioned under a common nullable schema, and each
+  bucket group does ONE vectorized pandas merge. B is the explicit
+  partitioning knob; salt hot keys by raising B.
+
+Broadcast joins ship the small side once per actor (constructor arg /
+``ray.put``) and merge per batch — no shuffle.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class BroadcastJoinStage:
+    """map_batches actor: pandas merge against a broadcast small table."""
+
+    def __init__(self, small_df, on, how="inner", columns=None):
+        try:
+            import ray
+
+            if isinstance(small_df, ray.ObjectRef):
+                small_df = ray.get(small_df)
+        except ImportError:
+            pass
+        self.small = small_df if columns is None else small_df[columns]
+        self.on = on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(self.small, on=self.on, how=self.how)
+
+
+def broadcast_semi_filter(ds, keys, key_col):
+    """Semi-join filter: keep rows whose key is in the broadcast key set."""
+    keys = np.asarray(sorted(keys))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch.column(key_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, vals)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        mask = keys[pos] == vals
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bucketed_hash_join(left, right, key, n_buckets=32, how="inner", suffixes=("_l", "_r")):
+    """Explicit partitioned hash join of two Datasets on an int64 key.
+
+    Schema handling: each side's non-key columns are carried under the
+    union schema with nulls for the other side; the per-bucket merge
+    reconstructs the two frames and joins them vectorized.
+    """
+    lcols = [f for f in left.schema().names if f != key]
+    rcols = [f for f in right.schema().names if f != key]
+    overlap = set(lcols) & set(rcols)
+    lmap = {c: c + suffixes[0] if c in overlap else c for c in lcols}
+    rmap = {c: c + suffixes[1] if c in overlap else c for c in rcols}
+
+    def tag(side, colmap, other_names):
+        def fn(batch: pa.Table) -> pa.Table:
+            out = {key: batch.column(key)}
+            kv = batch.column(key).to_numpy(zero_copy_only=False)
+            out["__bucket"] = pa.array(
+                (kv % n_buckets).astype(np.int64), pa.int64()
+            )
+            out["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8), pa.int8())
+            for orig, new in colmap.items():
+                out[new] = batch.column(orig)
+            for name, typ in other_names:
+                out[name] = pa.nulls(batch.num_rows, typ)
+            return pa.table(out)
+
+        return fn
+
+    lschema = left.schema()
+    rschema = right.schema()
+    l_other = [
+        (rmap[c], rschema.base_schema.field(c).type) for c in rcols
+    ]
+    r_other = [
+        (lmap[c], lschema.base_schema.field(c).type) for c in lcols
+    ]
+    lt = left.map_batches(tag(0, lmap, l_other), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, rmap, r_other), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    lnames = [lmap[c] for c in lcols]
+    rnames = [rmap[c] for c in rcols]
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0 or "__side" not in group.columns:
+            return pd.DataFrame({key: pd.Series([], dtype=np.int64)})
+        lg = group[group["__side"] == 0][[key] + lnames]
+        rg = group[group["__side"] == 1][[key] + rnames]
+        return lg.merge(rg, on=key, how=how)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1,0 +1,131 @@
+"""Relational pipelines vs DuckDB oracles (sf0.001) + multimodal plumbing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation", "region", "events"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _check(ray_result, con, sql):
+    rdf = ray_result.to_pandas()
+    odf = con.sql(sql).df()
+    a = rdf[sorted(rdf.columns)].sort_values(sorted(rdf.columns)).reset_index(drop=True)
+    b = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    return rdf
+
+
+def test_q1(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.q1_pricing_summary(SF), con, R.Q1_SQL)
+    assert len(out) == 6  # 3 returnflags x 2 linestatus combos
+
+
+def test_q3_builtin_join(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.q3_top_orders(SF), con, R.Q3_SQL)
+    assert len(out) == 10
+    assert out["revenue_micros"].is_monotonic_decreasing
+
+
+def test_q5_bucketed_join(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.q5_nation_revenue(SF), con, R.Q5_SQL)
+    assert out["n_name"].is_unique
+
+
+def test_events_windows_and_topk(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    _check(R.events_daily(SF), con, R.EVENTS_DAILY_SQL)
+    _check(R.top_users_by_value(SF), con, R.TOP_USERS_SQL)
+    _check(R.distinct_users_per_type(SF), con, R.DISTINCT_USERS_SQL)
+
+
+def test_bucketed_join_matches_builtin(ray_session):
+    """Our explicit bucketed hash join == Ray's Dataset.join, row for row."""
+    import ray.data
+
+    from rio_color_ray.stages.join import bucketed_hash_join
+
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_quantity"]), batch_format="pyarrow"
+    )
+    ours = bucketed_hash_join(orders, li, key="o_orderkey", n_buckets=8).to_pandas()
+    builtin = (
+        ray.data.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+        .join(
+            ray.data.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]),
+            join_type="inner",
+            num_partitions=8,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+        .to_pandas()
+    )
+    a = ours.sort_values(["o_orderkey", "o_custkey", "l_quantity"]).reset_index(drop=True)
+    b = builtin.rename(columns={"l_orderkey": "o_orderkey_r"}) if "l_orderkey" in builtin else builtin
+    b = b[["o_orderkey", "o_custkey", "l_quantity"]].sort_values(
+        ["o_orderkey", "o_custkey", "l_quantity"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["o_orderkey", "o_custkey", "l_quantity"]], b, check_dtype=False
+    )
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from rio_color_ray.stages.multimodal import (
+        AudioFrameStage,
+        DecodeImageStage,
+        make_media_table,
+    )
+
+    media = make_media_table(n=32, payload_bytes=2048)
+    ds = ray.data.from_arrow(media)
+    imgs = ds.filter(lambda r: r["kind"] == "image").map_batches(
+        DecodeImageStage, batch_format="pyarrow", concurrency=(1, 2), batch_size=8
+    )
+    out = imgs.to_pandas()
+    assert len(out) == 16
+    assert set(out.columns) == {"media_id", "height", "width", "pixels", "mean_r", "mean_g", "mean_b"}
+    assert all(len(p) == 16 * 16 * 3 for p in out["pixels"])
+    # deterministic: same payload -> same fake pixels
+    out2 = (
+        ray.data.from_arrow(media)
+        .filter(lambda r: r["kind"] == "image")
+        .map_batches(DecodeImageStage, batch_format="pyarrow", concurrency=(1, 2), batch_size=8)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True),
+        out2.sort_values("media_id").reset_index(drop=True),
+    )
+
+    frames = ds.filter(lambda r: r["kind"] == "audio").map_batches(
+        AudioFrameStage, batch_format="pyarrow", concurrency=(1, 2), batch_size=8
+    )
+    fdf = frames.to_pandas()
+    assert len(fdf) == 16 * (2048 // 256)
+    assert (fdf["energy"] >= 0).all()
+
+    # the real-codec path fails loudly, not silently
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(fake=False)._decode(b"payload")
