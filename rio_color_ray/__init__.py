@@ -21,3 +21,13 @@ state      -- lineage records, checkpointed writes, resume
 """
 
 __version__ = "0.1.0"
+
+# Every exchange in this engine wants hash partitioning (key colocation,
+# no ordering); applied at import so the driver's own `ray.init` +
+# `queries()` calls get the tuned executor too. Measurements: ctx.py.
+try:  # pragma: no cover - trivial guard
+    from .ctx import tune_data_context
+
+    tune_data_context()
+except Exception:
+    pass

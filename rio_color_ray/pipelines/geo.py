@@ -18,11 +18,26 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from ..ctx import shuffle_partitions
 from ..sources.pages import synth_pages_batch
 from ..sources.polygons import make_admin_polygons, make_admin_rects
 from ..stages.cellify import cellify_batch
 from ..stages.geocode import geocode_batch
 from ..stages.pip_stage import PIPJoinStage, RectJoinStage
+from ..stages.statecache import make_stage_fn
+
+
+def _stateful(ds, cls, args, use_actors, concurrency):
+    """One stateful stage, task-pool (default, fused + warm workers) or
+    actor-pool (``use_actors=True``; see stages/statecache.py)."""
+    if use_actors:
+        return ds.map_batches(
+            cls,
+            fn_constructor_args=args,
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+        )
+    return ds.map_batches(make_stage_fn(cls, *args), batch_format="pyarrow")
 
 N_SALT = 16  # salt fan-out for hot-cell aggregation
 
@@ -76,7 +91,9 @@ def grid_cell_agg(sf_dir):
     """Pages per 0.5-deg grid cell — partial-sum then tiny shuffle."""
     ds = cellified(sf_dir, keep_columns=["grid_cell"])
     partial = ds.map_batches(_partial_count("grid_cell"), batch_format="pandas")
-    out = partial.groupby("grid_cell").aggregate(Sum("n", alias_name="n_pages"))
+    out = partial.groupby("grid_cell", num_partitions=shuffle_partitions()).aggregate(
+        Sum("n", alias_name="n_pages")
+    )
     return out
 
 
@@ -119,8 +136,12 @@ def cell_agg_salted(sf_dir, key="h3_r8"):
         add_salt, batch_format="pyarrow"
     )
     partial = ds.map_batches(_salted_partial(key), batch_format="pandas")
-    mid = partial.groupby([key, "salt"]).aggregate(Sum("n", alias_name="n_mid"))
-    return mid.groupby(key).aggregate(Sum("n_mid", alias_name="n_pages"))
+    mid = partial.groupby([key, "salt"], num_partitions=shuffle_partitions()).aggregate(
+        Sum("n", alias_name="n_mid")
+    )
+    return mid.groupby(key, num_partitions=shuffle_partitions()).aggregate(
+        Sum("n_mid", alias_name="n_pages")
+    )
 
 
 def cell_agg_h8(sf_dir):
@@ -149,34 +170,24 @@ def cell_agg_h8(sf_dir):
             }
         )
 
-    return partial_ds.groupby("h3_r8").map_groups(final, batch_format="pandas")
-
-
-def rect_join(sf_dir, mode="inner", concurrency=4):
-    """Broadcast rectangle-region join (oracle-checkable in SQL)."""
-    rects = make_admin_rects()
-    ds = cellified(sf_dir, keep_columns=["url", "lat", "lon"])
-    out = ds.map_batches(
-        RectJoinStage,
-        fn_constructor_args=(rects, mode),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
+    return partial_ds.groupby("h3_r8", num_partitions=shuffle_partitions()).map_groups(
+        final, batch_format="pandas"
     )
+
+
+def rect_join(sf_dir, mode="inner", concurrency=4, use_actors=False):
+    """Broadcast rectangle-region join (oracle-checkable in SQL)."""
+    ds = cellified(sf_dir, keep_columns=["url", "lat", "lon"])
+    out = _stateful(ds, RectJoinStage, (make_admin_rects(), mode), use_actors, concurrency)
     if mode in ("inner", "left"):
         return out.select_columns(["url", "admin_id"])
     return out.select_columns(["url"])
 
 
-def pip_join(sf_dir, mode="inner", concurrency=4):
+def pip_join(sf_dir, mode="inner", concurrency=4, use_actors=False):
     """Broadcast polygon PIP join (STRtree + exact ray-cast)."""
-    polys = make_admin_polygons()
     ds = cellified(sf_dir, keep_columns=["url", "lat", "lon"])
-    out = ds.map_batches(
-        PIPJoinStage,
-        fn_constructor_args=(polys, mode),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-    )
+    out = _stateful(ds, PIPJoinStage, (make_admin_polygons(), mode), use_actors, concurrency)
     if mode in ("inner", "left"):
         return out.select_columns(["url", "admin_id"])
     return out.select_columns(["url"])

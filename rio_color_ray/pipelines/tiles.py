@@ -2,7 +2,8 @@
 
 cell-level point density -> web-mercator raster tiles (the engine's analog
 of the reference GeoTIFF: 32x32 uint8 band-major buffers in a binary
-column) -> stateful ColorStage actor pool applying a DSL program.
+column) -> the rio-color stage applying a DSL program (task-pool with
+per-process parsed state by default; actor pool on request).
 
 Shuffle discipline:
 * stage 1 (map_batches): per-batch PARTIAL pixel histograms
@@ -12,7 +13,12 @@ Shuffle discipline:
   N_TILE_BUCKETS`` and each bucket is assembled in ONE vectorized call
   (np.add.at scatter over a (tiles, 1024) matrix) — constant group
   count, so per-group Python overhead is O(buckets), not O(tiles).
-  At cluster scale, raise N_TILE_BUCKETS with the node count.
+  Buckets are deliberately much finer than the partition count (1024
+  buckets into ~64+ partitions): hot-city buckets then spread across
+  partitions instead of making one straggler task — measured 14.7s ->
+  10.3s at 8 CPUs on the dense-zoom flagship (BASELINE.md "skew").
+  The downstream assemble+color task count equals the partition count,
+  so num_partitions also sets tail parallelism for the pixel math.
 
 Tile identity is the (z, x, y) triple — never row order.
 """
@@ -21,13 +27,37 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..ctx import shuffle_partitions
 from ..spatial import mercator_tile, tile_pixel
 from ..stages.color_stage import ColorStage
+from ..stages.statecache import make_stage_fn
+
+
+def color_stage(tiles_ds, ops, concurrency=4, use_actors=False, out_dtype=None):
+    """Apply the rio-color DSL program to a tiles Dataset.
+
+    Task-pool by default (ops parsed once per worker process, fuses with
+    the rasterize stage); ``use_actors=True`` for a dedicated actor pool.
+    batch_size=128 keeps the stacked per-batch pixel array cache-resident
+    — measured ~10x faster per pixel than one giant stacked array, and
+    the fastest point of the 64/128/256/512 sweep (BASELINE.md).
+    """
+    if use_actors:
+        return tiles_ds.map_batches(
+            ColorStage,
+            fn_constructor_args=(ops, out_dtype),
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+            batch_size=128,
+        )
+    return tiles_ds.map_batches(
+        make_stage_fn(ColorStage, ops, out_dtype), batch_format="pyarrow", batch_size=128
+    )
 
 TILE_SIZE = 32
 DEFAULT_ZOOM = 7
 DEFAULT_OPS = "gamma rgb 1.2, sigmoidal rgb 6 0.25, saturation 1.1"
-N_TILE_BUCKETS = 64
+N_TILE_BUCKETS = 1024
 
 
 def _tile_key(z, xt, yt):
@@ -61,11 +91,18 @@ def _partial_pixel_counts(z):
     return fn
 
 
-def _assemble_bucket(group: pd.DataFrame) -> pd.DataFrame:
-    """All tiles of one hash bucket, assembled vectorized."""
-    tk = group["tile_key"].to_numpy()
-    pix = group["pix"].to_numpy()
-    n = group["n"].to_numpy()
+def _assemble_bucket(group: pa.Table) -> pa.Table:
+    """All tiles of one hash bucket, assembled vectorized.
+
+    No per-tile Python: the pixel buffers land in one contiguous uint8
+    block wrapped as a FixedSizeBinary array (then cast to binary), and
+    tile ids are built with Arrow string kernels.
+    """
+    import pyarrow.compute as pc
+
+    tk = group.column("tile_key").to_numpy()
+    pix = group.column("pix").to_numpy()
+    n = group.column("n").to_numpy()
     uniq, inv = np.unique(tk, return_inverse=True)
     counts = np.zeros((len(uniq), TILE_SIZE * TILE_SIZE), dtype=np.int64)
     np.add.at(counts, (inv, pix), n)  # partials may repeat (tile, pix)
@@ -75,22 +112,39 @@ def _assemble_bucket(group: pd.DataFrame) -> pd.DataFrame:
     b0 = np.clip(np.round(32.0 * np.log2(1.0 + counts)), 0, 255).astype(np.uint8)
     b1 = np.where(counts > 0, 255, 0).astype(np.uint8)
     b2 = (counts % 256).astype(np.uint8)
-    px = np.stack([b0, b1, b2], axis=1)  # (tiles, 3, h, w)
+    px = np.ascontiguousarray(np.stack([b0, b1, b2], axis=1))  # (tiles, 3, h, w)
 
+    nbytes = 3 * TILE_SIZE * TILE_SIZE
+    pixels = pc.cast(
+        pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(nbytes), len(uniq), [None, pa.py_buffer(px.tobytes())]
+        ),
+        pa.binary(),
+    )
     z = (uniq >> 44).astype(np.int32)
     xt = ((uniq >> 22) & ((1 << 22) - 1)).astype(np.int32)
     yt = (uniq & ((1 << 22) - 1)).astype(np.int32)
-    return pd.DataFrame(
+    slash = pa.scalar("/")
+    tile_id = pc.binary_join_element_wise(
+        pc.cast(pa.array(z), pa.string()),
+        slash,
+        pc.cast(pa.array(xt), pa.string()),
+        slash,
+        pc.cast(pa.array(yt), pa.string()),
+        "",
+    )
+    k = len(uniq)
+    return pa.table(
         {
-            "tile_id": [f"{a}/{b}/{c}" for a, b, c in zip(z, xt, yt)],
-            "z": z,
-            "x": xt,
-            "y": yt,
-            "band_count": np.full(len(uniq), 3, dtype=np.uint8),
-            "dtype": "uint8",
-            "width": np.full(len(uniq), TILE_SIZE, dtype=np.int32),
-            "height": np.full(len(uniq), TILE_SIZE, dtype=np.int32),
-            "pixels": [px[i].tobytes() for i in range(len(uniq))],
+            "tile_id": tile_id,
+            "z": pa.array(z),
+            "x": pa.array(xt),
+            "y": pa.array(yt),
+            "band_count": pa.array(np.full(k, 3, dtype=np.uint8)),
+            "dtype": pa.array(["uint8"] * k, pa.string()),
+            "width": pa.array(np.full(k, TILE_SIZE, dtype=np.int32)),
+            "height": pa.array(np.full(k, TILE_SIZE, dtype=np.int32)),
+            "pixels": pixels,
         }
     )
 
@@ -98,7 +152,10 @@ def _assemble_bucket(group: pd.DataFrame) -> pd.DataFrame:
 def render_tiles_from(points_ds, z=DEFAULT_ZOOM):
     """Any Dataset with lat/lon columns -> raster tiles at zoom z."""
     partial = points_ds.map_batches(_partial_pixel_counts(z), batch_format="pyarrow")
-    return partial.groupby("bucket").map_groups(_assemble_bucket, batch_format="pandas")
+    npart = min(N_TILE_BUCKETS, max(64, shuffle_partitions(cap=N_TILE_BUCKETS)))
+    return partial.groupby("bucket", num_partitions=npart).map_groups(
+        _assemble_bucket, batch_format="pyarrow"
+    )
 
 
 def render_tiles(sf_dir, z=DEFAULT_ZOOM, replicate=1):
@@ -109,16 +166,12 @@ def render_tiles(sf_dir, z=DEFAULT_ZOOM, replicate=1):
     return render_tiles_from(pts, z)
 
 
-def color_tiles(sf_dir, ops=DEFAULT_OPS, z=DEFAULT_ZOOM, concurrency=4, replicate=1):
-    """The flagship tail: rendered tiles through the ColorStage actor pool."""
+def color_tiles(
+    sf_dir, ops=DEFAULT_OPS, z=DEFAULT_ZOOM, concurrency=4, replicate=1, use_actors=False
+):
+    """The flagship tail: rendered tiles through the rio-color stage."""
     from ..color import parse_operations
 
     parse_operations(ops)  # fail fast BEFORE launching work (cf. cli.py:95-98)
     tiles = render_tiles(sf_dir, z, replicate=replicate)
-    return tiles.map_batches(
-        ColorStage,
-        fn_constructor_args=(ops,),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        batch_size=64,
-    )
+    return color_stage(tiles, ops, concurrency=concurrency, use_actors=use_actors)

@@ -1,0 +1,51 @@
+"""Per-worker-process state cache for task-pool stateful stages.
+
+Two ways to run a stateful stage (index build, ops-program parse) on Ray
+Data:
+
+* **actor pool** — ``map_batches(Cls, concurrency=N)``: state built once
+  per actor in ``__init__``. Right when state is expensive enough that a
+  dedicated long-lived pool pays for itself (multi-GB indexes, models).
+* **task pool + process cache** (``make_stage_fn``) — a plain function
+  whose state is built once per worker process and cached; tasks fuse
+  with the surrounding map chain and reuse already-warm workers.
+
+Measured here (BASELINE.md): at bench scale every actor-pool execution
+spawns fresh actor processes (library import + index build before the
+first batch), costing ~3s of pipeline wall per stage, while the fused
+task variant runs the same batches in warm workers at ~1s total. Both
+paths share the same stage classes and produce identical output (tested)
+— pipelines default to the task variant and expose ``use_actors=True``
+for heavy-state deployments.
+
+Big broadcast state should be passed as a ``ray.put`` ObjectRef (the
+stage classes resolve refs in ``__init__``), so each worker process reads
+it from the object store once; the closure then ships only the ref.
+"""
+
+import uuid
+
+_PROCESS_CACHE = {}
+
+
+def process_cached(key, builder):
+    """Build-once-per-worker-process memoization."""
+    if key not in _PROCESS_CACHE:
+        _PROCESS_CACHE[key] = builder()
+    return _PROCESS_CACHE[key]
+
+
+def make_stage_fn(cls, *args, **kwargs):
+    """Wrap a stateful stage class as a task-pool ``map_batches`` function.
+
+    The returned closure carries a unique token; every task that lands in
+    a given worker process constructs the stage once and reuses it.
+    """
+    token = f"{cls.__name__}-{uuid.uuid4().hex}"
+
+    def stage_fn(batch):
+        stage = process_cached(token, lambda: cls(*args, **kwargs))
+        return stage(batch)
+
+    stage_fn.__name__ = f"{cls.__name__}Fn"
+    return stage_fn

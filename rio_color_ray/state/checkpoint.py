@@ -91,7 +91,7 @@ def checkpointed_write(tiles_ds, out_dir, z, n_parts, stage="flagship"):
 
     lineage = (
         tiles_ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("part")
+        .groupby("part", num_partitions=n_parts)
         .map_groups(_partition_writer(out_dir, z, n_parts, stage), batch_format="pandas")
     )
     return lineage.to_pandas()  # lineage is tiny (one row per partition)
@@ -115,9 +115,9 @@ def resumable_flagship(
     """
     from ..color import parse_operations
     from ..sources.polygons import make_admin_polygons
-    from ..stages.color_stage import ColorStage
     from ..stages.pip_stage import PIPJoinStage
-    from ..pipelines.tiles import DEFAULT_OPS, DEFAULT_ZOOM, render_tiles_from
+    from ..stages.statecache import make_stage_fn
+    from ..pipelines.tiles import DEFAULT_OPS, DEFAULT_ZOOM, color_stage, render_tiles_from
     from ..pipelines.geo import cellified
 
     ops = ops or DEFAULT_OPS
@@ -148,19 +148,11 @@ def resumable_flagship(
     pts = cellified(sf_dir, keep_columns=["url", "lat", "lon"], replicate=replicate)
     pts = pts.map_batches(keep_pending, batch_format="pyarrow")
     joined = pts.map_batches(
-        PIPJoinStage,
-        fn_constructor_args=(make_admin_polygons(), "left"),
+        make_stage_fn(PIPJoinStage, make_admin_polygons(), "left"),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     )
     tiles = render_tiles_from(joined, z)
-    corrected = tiles.map_batches(
-        ColorStage,
-        fn_constructor_args=(ops,),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
-        batch_size=64,
-    )
+    corrected = color_stage(tiles, ops, concurrency=concurrency)
     lineage = checkpointed_write(corrected, out_dir, z, n_parts)
 
     # pending cell ranges with zero tiles still need a completion record,

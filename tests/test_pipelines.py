@@ -136,3 +136,23 @@ def test_render_tiles_deterministic(ray_session):
         # counts only where exactly one page landed (b0 == 32)
         total += int((px[1] == 255).sum())
     assert total >= 300  # 500 pages minus pixel-collisions inside hotspots
+
+
+def test_actor_pool_and_task_pool_paths_identical(ray_session):
+    """use_actors=True (dedicated actor pools) must produce exactly the
+    same tiles as the default fused task-pool path."""
+    from rio_color_ray.pipelines.flagship import flagship
+
+    a = (
+        flagship(SF, use_actors=True, concurrency=2)
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        flagship(SF, use_actors=False)
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
