@@ -33,7 +33,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "events_daily": relational.events_daily,
+        "events_sliding_window": relational.events_sliding_window,
+        "sessionize": relational.sessionize,
         "top_users_by_value": relational.top_users_by_value,
         "distinct_users_per_type": relational.distinct_users_per_type,
         # geospatial
@@ -42,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_grid_cells": geo.top_grid_cells,
         "cell_agg_salted_h8": lambda sf: geo.cell_agg_salted(sf, "h3_r8"),
         "cell_agg_h8": geo.cell_agg_h8,
+        "cell_agg_s2": geo.cell_agg_s2,
         "rect_join": geo.rect_join,
         "rect_join_semi": lambda sf: geo.rect_join(sf, mode="semi"),
         "rect_join_anti": lambda sf: geo.rect_join(sf, mode="anti"),
@@ -87,7 +91,10 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.Q1_SQL,
         "q3_top_orders": R.Q3_SQL,
         "q5_nation_revenue": R.Q5_SQL,
+        "q14_promo_revenue": R.Q14_SQL,
         "events_daily": R.EVENTS_DAILY_SQL,
+        "events_sliding_window": R.SLIDING_SQL,
+        "sessionize": R.SESSIONIZE_SQL,
         "top_users_by_value": R.TOP_USERS_SQL,
         "distinct_users_per_type": R.DISTINCT_USERS_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",

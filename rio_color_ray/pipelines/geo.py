@@ -191,3 +191,14 @@ def pip_join(sf_dir, mode="inner", concurrency=4, use_actors=False):
     if mode in ("inner", "left"):
         return out.select_columns(["url", "admin_id"])
     return out.select_columns(["url"])
+
+
+def cell_agg_s2(sf_dir):
+    """Pages per S2-style quadsphere cell (Hilbert ids; no SQL oracle —
+    the curve math is not ANSI-SQL-expressible, driver does a rows-only
+    check; internal consistency is covered by tests/test_spatial.py)."""
+    ds = cellified(sf_dir, keep_columns=["s2_cell"])
+    partial = ds.map_batches(_partial_count("s2_cell"), batch_format="pandas")
+    return partial.groupby("s2_cell", num_partitions=shuffle_partitions()).aggregate(
+        Sum("n", alias_name="n_pages")
+    )

@@ -326,3 +326,178 @@ def distinct_users_per_type(sf_dir):
 DISTINCT_USERS_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
 """
+
+
+def q14_promo_revenue(sf_dir):
+    """TPC-H Q14 analog: promo vs total revenue per ship month.
+
+    ``part`` is the small side — read once on the driver, broadcast as a
+    dense ``partkey -> is_promo`` int8 lookup array inside a stateless
+    ``map_batches`` (no shuffle for the join); the monthly aggregate is a
+    per-batch partial reduce into a tiny groupby. Exact integer micros.
+    """
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    promo = pc.starts_with(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
+    lookup = np.zeros(int(pk.max()) + 1, dtype=np.int8)
+    lookup[pk] = promo.astype(np.int8)
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        price_c = _int_cents(batch.column("l_extendedprice"))
+        disc_pct = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        is_promo = lookup[batch.column("l_partkey").to_numpy()]
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        month = np.datetime_as_string(ship.astype("datetime64[M]"))
+        df = pd.DataFrame(
+            {
+                "ship_month": month,
+                "promo_revenue_micros": rev * is_promo,
+                "total_revenue_micros": rev,
+            }
+        )
+        return df.groupby("ship_month", as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ship_month")
+        .aggregate(
+            Sum("promo_revenue_micros", alias_name="promo_revenue_micros"),
+            Sum("total_revenue_micros", alias_name="total_revenue_micros"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END)
+         AS promo_revenue_micros,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+         AS total_revenue_micros
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+WINDOW_US = 6 * 3600 * 1_000_000  # 6h sliding window ...
+SLIDE_US = 3 * 3600 * 1_000_000  # ... advancing every 3h
+
+
+def events_sliding_window(sf_dir):
+    """Sliding 6h window every 3h: events + value per (window_start, type).
+
+    Each event lands in exactly window//slide = 2 windows; the per-batch
+    stage emits both assignments vectorized (the streaming-window analog:
+    windows close as the aggregate consumes them — no per-event state).
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        cents = _int_cents(batch.column("value"))
+        etype = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        w1 = (ts // SLIDE_US) * SLIDE_US  # latest window containing ts
+        rows = {
+            "window_start": np.concatenate([w1, w1 - SLIDE_US]),
+            "event_type": np.concatenate([etype, etype]),
+            "n_events": np.ones(2 * len(cents), dtype=np.int64),
+            "value_cents": np.concatenate([cents, cents]),
+        }
+        df = pd.DataFrame(rows)
+        out = df.groupby(["window_start", "event_type"], as_index=False).sum()
+        out["window_start"] = out["window_start"].astype("datetime64[us]")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH assigned AS (
+  SELECT to_timestamp((epoch_us(ts) // 10800000000) * 10800000000 / 1000000)
+           AS window_start, event_type, value FROM events
+  UNION ALL
+  SELECT to_timestamp(((epoch_us(ts) // 10800000000) * 10800000000 - 10800000000) / 1000000)
+           AS window_start, event_type, value FROM events
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM assigned GROUP BY 1, 2
+"""
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
+
+
+def sessionize(sf_dir):
+    """Gap-based session windows per user (classic streaming op).
+
+    Shuffle key = user_id (``groupby.map_groups``); inside each group a
+    vectorized sort + diff + cumsum splits sessions at >30min gaps.
+    Output: one row per session with start/end/n_events/value_cents.
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        sid = np.cumsum(new_session)  # 1-based session index per user
+        df = pd.DataFrame(
+            {"sid": sid, "ts": ts, "cents": cents}
+        )
+        agg = df.groupby("sid").agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            value_cents=("cents", "sum"),
+        )
+        out = agg.reset_index()
+        out["user_id"] = g["user_id"].iloc[0]
+        out["session_id"] = out.pop("sid").astype(np.int64)
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
+        out["session_end"] = out["session_end"].astype("datetime64[us]")
+        return out[
+            ["user_id", "session_id", "session_start", "session_end", "n_events", "value_cents"]
+        ]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM numbered GROUP BY user_id, session_id
+"""

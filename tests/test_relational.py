@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "nation", "region", "events"]:
+    for t in ["lineitem", "orders", "customer", "nation", "region", "events", "part"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
 
@@ -129,3 +129,35 @@ def test_multimodal_plumbing(ray_session):
     # the real-codec path fails loudly, not silently
     with pytest.raises(NotImplementedError):
         DecodeImageStage(fake=False)._decode(b"payload")
+
+
+def test_q14_promo_revenue(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    _check(R.q14_promo_revenue(SF), con, R.Q14_SQL)
+
+
+def test_events_sliding_window(ray_session, con):
+    """Every event lands in exactly 2 of the 6h/3h sliding windows."""
+    from rio_color_ray.pipelines import relational as R
+
+    rdf = _check(R.events_sliding_window(SF), con, R.SLIDING_SQL)
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert rdf["n_events"].sum() == 2 * n_events
+
+
+def test_sessionize(ray_session, con):
+    """Gap-based sessions match the SQL window-function oracle, and a
+    >30min gap provably splits while <=30min does not."""
+    from rio_color_ray.pipelines import relational as R
+
+    rdf = _check(R.sessionize(SF), con, R.SESSIONIZE_SQL)
+    assert (rdf["session_end"] >= rdf["session_start"]).all()
+    # per-user sanity: session count == 1 + number of >gap deltas
+    ev = con.sql("SELECT user_id, ts FROM events ORDER BY user_id, ts").df()
+    gaps = (
+        ev.groupby("user_id")["ts"]
+        .apply(lambda s: int((s.diff().dt.total_seconds() > 1800).sum()) + 1)
+    )
+    got = rdf.groupby("user_id")["session_id"].nunique()
+    pd.testing.assert_series_equal(got.sort_index(), gaps.sort_index(), check_names=False)
