@@ -65,9 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_pages": corpus.dedup_exact_pages,
         "near_dup_minhash": corpus.near_dup_pairs_minhash,
         "near_dup_simhash": corpus.near_dup_pairs_simhash,
+        "near_dup_jaccard": corpus.near_dup_pairs_jaccard,
         # similarity search
         "ann_topk": corpus.ann_topk,
         "embedding_near_dup": corpus.embedding_near_dup,
+        # multimodal
+        "media_features": corpus.media_features,
     }
 
 

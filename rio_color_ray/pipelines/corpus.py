@@ -74,13 +74,50 @@ def dedup_exact_pages(sf_dir, replicate=3):
     return exact_dedup(ds, key_col="text", id_col="url")
 
 
+def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, num_partitions=8):
+    """Distributed exact-Jaccard verification of candidate id pairs.
+
+    Texts are attached with TWO hash-partitioned ``Dataset.join``s (never
+    collected to the driver — at corpus scale the candidate set is small
+    relative to the corpus but can still exceed driver memory), then the
+    per-pair n-gram Jaccard runs inside map_batches over the joined rows.
+    Returns a small sorted DataFrame[url_a, url_b].
+    """
+
+    def rename(suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([f"id_{suffix}", f"text_{suffix}"])
+
+        return fn
+
+    docs_a = docs_ds.map_batches(rename("a"), batch_format="pyarrow")
+    docs_b = docs_ds.map_batches(rename("b"), batch_format="pyarrow")
+    j = cand_ds.join(docs_a, "inner", num_partitions, on=("id_a",))
+    j = j.join(docs_b, "inner", num_partitions, on=("id_b",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"url_a": [], "url_b": []})
+        ok = np.asarray(
+            [
+                jaccard(a, b) >= threshold
+                for a, b in zip(batch["text_a"], batch["text_b"])
+            ]
+        )
+        out = batch.loc[ok, ["id_a", "id_b"]]
+        return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+
+    verified = j.map_batches(verify, batch_format="pandas")
+    return verified.to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+
+
 def near_dup_pairs_minhash(sf_dir, replicate=2, threshold=0.8, concurrency=4):
     """MinHash-LSH near-duplicate url pairs over the replicated corpus.
 
     Pipeline: signatures+banding (actor pool) -> groupby (band, band_hash)
-    -> candidate pairs -> exact Jaccard verification against the
-    broadcast text of the candidate urls. Returns Dataset[url_a, url_b]
-    with verified jaccard >= threshold.
+    -> candidate pairs -> distributed exact-Jaccard verification (texts
+    joined back by url, never driver-collected). Returns the verified
+    pairs with jaccard >= threshold.
     """
     ds = pages(sf_dir, replicate=replicate).select_columns(["url", "text"])
     bands = ds.map_batches(
@@ -89,29 +126,45 @@ def near_dup_pairs_minhash(sf_dir, replicate=2, threshold=0.8, concurrency=4):
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    cand = candidate_pairs_from_bands(bands).to_pandas()
+    cand = candidate_pairs_from_bands(bands)
+    return _verify_pairs_jaccard(cand, ds, threshold)
 
-    if cand.empty:
-        return pd.DataFrame({"url_a": [], "url_b": []})
 
-    # verification: fetch texts of candidate urls only (semi-join filter)
-    need = set(cand["id_a"]) | set(cand["id_b"])
+K_MIN_SHINGLES = 5
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = np.asarray([u in need for u in batch.column("url").to_pylist()])
-        return batch.filter(pa.array(mask))
 
-    texts = dict(
-        ds.map_batches(keep, batch_format="pyarrow")
-        .to_pandas()[["url", "text"]]
-        .itertuples(index=False, name=None)
-    )
-    ok = [
-        jaccard(texts[a], texts[b]) >= threshold
-        for a, b in zip(cand["id_a"], cand["id_b"])
-    ]
-    out = cand[np.asarray(ok)].rename(columns={"id_a": "url_a", "id_b": "url_b"})
-    return out.sort_values(["url_a", "url_b"]).reset_index(drop=True)
+def near_dup_pairs_jaccard(sf_dir, replicate=2, threshold=0.8):
+    """n-gram Jaccard near-dup pairs via min-shingle candidate keys.
+
+    Stateless variant of the MinHash path: each doc emits its
+    ``K_MIN_SHINGLES`` smallest word-3-gram hashes as candidate keys; any
+    two docs sharing a key become a candidate pair (for J >= 0.8 pairs
+    the smallest shingle of the union is shared with high probability),
+    then the same distributed exact-Jaccard verification runs. Shuffle
+    key = shingle hash.
+    """
+    from ..stages.dedup import _shingle_hashes
+
+    ds = pages(sf_dir, replicate=replicate).select_columns(["url", "text"])
+
+    def min_shingles(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for u, t in zip(batch.column("url").to_pylist(), batch.column("text").to_pylist()):
+            sh = np.unique(_shingle_hashes(t))
+            for v in sh[:K_MIN_SHINGLES]:
+                ids.append(u)
+                keys.append(int(v % np.uint64(1 << 63)))
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "band": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "band_hash": pa.array(keys, pa.int64()),
+            }
+        )
+
+    keys_ds = ds.map_batches(min_shingles, batch_format="pyarrow")
+    cand = candidate_pairs_from_bands(keys_ds)
+    return _verify_pairs_jaccard(cand, ds, threshold)
 
 
 def near_dup_pairs_simhash(sf_dir, replicate=2, max_hamming=3):
@@ -164,37 +217,115 @@ def ann_topk(sf_dir, k=10, n_queries=8, concurrency=4):
     )
 
 
+VEC_REP_STRIDE = 10_000_000
+_JITTER_SCALE = 0.02  # replica cosine vs original ~0.9996 >> 0.95 threshold
+
+
+def embeddings_replicated(sf_dir, replicate=1):
+    """The embeddings table, optionally with near-duplicate replicas.
+
+    Replica r > 0 of vector v is ``v + _JITTER_SCALE * jitter(vec_id, r)``
+    with a deterministic unit jitter — near-dups exist by construction
+    (the embedding analog of the replicated pages corpus), ids offset by
+    ``r * VEC_REP_STRIDE``.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    if replicate <= 1:
+        return ds
+
+    def expand(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy()
+        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        out = []
+        for r in range(replicate):
+            if r == 0:
+                v = vecs
+            else:
+                # deterministic per-(id, replica) jitter, unit-normalized
+                h = (vid[:, None] * 2654435761 + r * 97 + np.arange(vecs.shape[1])[None, :]) % 1000
+                j = (h / 499.5) - 1.0
+                j = j / np.linalg.norm(j, axis=1, keepdims=True)
+                v = vecs + _JITTER_SCALE * j
+            out.append(
+                pa.table(
+                    {
+                        "vec_id": pa.array(vid + r * VEC_REP_STRIDE, pa.int64()),
+                        "embedding": pa.array(list(v)),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def embedding_buckets(sf_dir, concurrency=2):
     """LSH bucket assignment for every embedding (the ANN scale path's
-    partitioning key; same-bucket ids are near-dup candidates)."""
+    partitioning key; same-(table, bucket) ids are near-dup candidates)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ds.map_batches(
         EmbeddingLSHStage, batch_format="pyarrow", concurrency=(1, concurrency)
     )
 
 
-def embedding_near_dup(sf_dir, threshold=0.95):
-    """Embedding near-dup pairs: LSH buckets -> within-bucket exact cosine."""
-    buckets = embedding_buckets(sf_dir).to_pandas()
-    import pyarrow.parquet as pq
+def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tables=4):
+    """Embedding near-dup pairs: multi-table LSH -> within-bucket cosine.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    vecs = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-    by_id = dict(zip(t.column("vec_id").to_numpy(), range(len(vecs))))
+    Fully distributed: vectors ride the shuffle with their bucket key
+    (``carry_vec=True``); each (table, bucket) group verifies with one
+    matmul in ``map_groups``; pair duplicates across tables collapse in a
+    final drop_duplicates. Nothing reaches the driver until the (small)
+    pair list. ``replicate=2`` plants one jittered near-dup per vector so
+    the operator's recall is testable (tests assert >= 95% found).
+    """
+    from ..stages.dedup import bucket_cosine_pairs
 
-    out_a, out_b = [], []
-    for _, grp in buckets.groupby("bucket"):
-        ids = sorted(grp["id"])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                va, vb = vecs[by_id[ids[i]]], vecs[by_id[ids[j]]]
-                if float(va @ vb) >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-    return (
-        pd.DataFrame({"vec_id_a": out_a, "vec_id_b": out_b})
-        .drop_duplicates()
-        .sort_values(["vec_id_a", "vec_id_b"])
-        .reset_index(drop=True)
+    ds = embeddings_replicated(sf_dir, replicate=replicate)
+    buckets = ds.map_batches(
+        EmbeddingLSHStage,
+        fn_constructor_kwargs={"carry_vec": True, "n_tables": n_tables},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
     )
+    pairs = buckets.groupby(["table", "bucket"]).map_groups(
+        bucket_cosine_pairs(threshold), batch_format="pandas"
+    )
+    pdf = pairs.to_pandas()
+    if pdf.empty:  # an all-empty Dataset drops its column names
+        return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+    return (
+        pdf.drop_duplicates().sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def media_features(sf_dir, concurrency=2):
+    """Opaque-binary media pipeline: decode (deterministic fake codec) ->
+    per-image features. Payloads derive from document text bytes, so the
+    table is deterministic without external data; the actor-pool stage
+    shape (small batch_size for large binary rows, per-actor init) is the
+    real 100 TB plumbing (stages/multimodal.py). Rows-only check: the
+    SHA-keystream fake decode has no ANSI-SQL form."""
+    from ..stages.multimodal import DecodeImageStage
+
+    docs = documents(sf_dir)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [t.encode() for t in batch.column("text").to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    return media.map_batches(
+        DecodeImageStage,
+        batch_format="pyarrow",
+        batch_size=32,  # large binary rows: keep batch x concurrency in heap
+        concurrency=(1, concurrency),
+    ).select_columns(["media_id", "height", "width", "mean_r", "mean_g", "mean_b"])

@@ -190,23 +190,67 @@ def hamming64(a, b):
 
 
 class EmbeddingLSHStage:
-    """Actor: seeded random hyperplanes; emits (id, bucket) sign-bit keys."""
+    """Actor: seeded random hyperplanes; emits (id, bucket) sign-bit keys.
 
-    def __init__(self, dim=64, n_planes=16, seed=777, id_col="vec_id", vec_col="embedding"):
+    ``carry_vec=True`` keeps the embedding column in the output so the
+    downstream per-bucket verification shuffles vectors alongside their
+    keys instead of re-reading them (the distributed near-dup path).
+    """
+
+    def __init__(
+        self,
+        dim=64,
+        n_planes=16,
+        seed=777,
+        id_col="vec_id",
+        vec_col="embedding",
+        carry_vec=False,
+        n_tables=1,
+    ):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+        # n_tables independent plane sets: near-dup pairs missed by one
+        # table (a sign flip near a hyperplane) are caught by another —
+        # classic multi-table LSH recall boost
+        self.planes = rng.standard_normal((n_tables, dim, n_planes))
         self.id_col = id_col
         self.vec_col = vec_col
+        self.carry_vec = carry_vec
+        self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
-        signs = (vecs @ self.planes) > 0
-        buckets = np.zeros(len(vecs), dtype=np.int64)
-        for j in range(self.planes.shape[1]):
-            buckets |= signs[:, j].astype(np.int64) << j
-        return pa.table(
-            {
-                "id": batch.column(self.id_col),
+        n = len(vecs)
+        ids = batch.column(self.id_col)
+        out = []
+        for t in range(self.n_tables):
+            signs = (vecs @ self.planes[t]) > 0
+            buckets = np.zeros(n, dtype=np.int64)
+            for j in range(self.planes.shape[2]):
+                buckets |= signs[:, j].astype(np.int64) << j
+            cols = {
+                "id": ids,
+                "table": pa.array(np.full(n, t, dtype=np.int64)),
                 "bucket": pa.array(buckets, pa.int64()),
             }
-        )
+            if self.carry_vec:
+                cols["embedding"] = batch.column(self.vec_col)
+            out.append(pa.table(cols))
+        return pa.concat_tables(out)
+
+
+def bucket_cosine_pairs(threshold):
+    """map_groups fn: within-bucket exact pairwise cosine >= threshold."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
+        order = np.argsort(group["id"].to_numpy())
+        ids = group["id"].to_numpy()[order]
+        vecs = np.stack(group["embedding"].to_numpy()[order]).astype(np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sim = vecs @ vecs.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame({"vec_id_a": ids[ia[keep]], "vec_id_b": ids[ib[keep]]})
+
+    return pairs

@@ -215,3 +215,39 @@ def test_embedding_near_dup_synthetic(ray_session, tmp_path):
     pairs = embedding_near_dup(str(tmp_path), threshold=0.95)
     got = set(zip(pairs["vec_id_a"], pairs["vec_id_b"]))
     assert {(0, 50), (0, 51), (50, 51), (1, 52)} <= got
+
+
+def test_jaccard_near_dup_matches_minhash_on_replicated(ray_session):
+    """The min-shingle Jaccard path and the MinHash-LSH path verify with
+    the same exact-Jaccard predicate, so on the replicated corpus (every
+    text duplicated under 2 urls) both must report the same pairs."""
+    from rio_color_ray.pipelines.corpus import (
+        near_dup_pairs_jaccard,
+        near_dup_pairs_minhash,
+    )
+
+    mh = near_dup_pairs_minhash(SF)
+    jc = near_dup_pairs_jaccard(SF)
+    assert set(zip(mh["url_a"], mh["url_b"])) == set(zip(jc["url_a"], jc["url_b"]))
+    assert len(jc) >= 500  # one exact-dup pair per doc guaranteed
+
+
+def test_embedding_near_dup_planted_recall(ray_session):
+    """replicate=2 plants one jittered near-dup per vector; the
+    multi-table LSH + bucket-cosine pipeline must recover >=95%."""
+    from rio_color_ray.pipelines.corpus import VEC_REP_STRIDE, embedding_near_dup
+
+    pairs = embedding_near_dup(SF, replicate=2)
+    found = set(zip(pairs["vec_id_a"], pairs["vec_id_b"]))
+    hit = sum((v, v + VEC_REP_STRIDE) in found for v in range(500))
+    assert hit / 500 >= 0.95
+
+
+def test_media_features_deterministic(ray_session):
+    from rio_color_ray.pipelines.corpus import media_features
+
+    a = media_features(SF).to_pandas().sort_values("media_id").reset_index(drop=True)
+    b = media_features(SF).to_pandas().sort_values("media_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 500 and (a["height"] == 16).all()
+    assert a["mean_r"].between(0, 255).all()
