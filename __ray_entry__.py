@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rect_join_semi": lambda sf: geo.rect_join(sf, mode="semi"),
         "rect_join_anti": lambda sf: geo.rect_join(sf, mode="anti"),
         "pip_join": geo.pip_join,
+        "pip_join_semi": lambda sf: geo.pip_join(sf, mode="semi"),
+        "pip_join_anti": lambda sf: geo.pip_join(sf, mode="anti"),
         "knn": knn.knn,
         "knn_cells": knn.knn_cells,
         # tiles + color

@@ -21,6 +21,7 @@ from ..stages.dedup import (
     jaccard,
     simhash_batch,
 )
+from ..stages.statecache import make_stage_fn
 from ..stages.text import (
     LangIdStage,
     fingerprint_batch,
@@ -46,9 +47,7 @@ def quality_scores(sf_dir):
 
 
 def lang_id(sf_dir, concurrency=4):
-    return documents(sf_dir).map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=(1, concurrency)
-    )
+    return documents(sf_dir).map_batches(make_stage_fn(LangIdStage), batch_format="pyarrow")
 
 
 def fingerprints(sf_dir):
@@ -74,26 +73,61 @@ def dedup_exact_pages(sf_dir, replicate=3):
     return exact_dedup(ds, key_col="text", id_col="url")
 
 
-def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, num_partitions=8):
+def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
     """Distributed exact-Jaccard verification of candidate id pairs.
 
-    Texts are attached with TWO hash-partitioned ``Dataset.join``s (never
+    Texts are attached with TWO explicit bucketed hash joins (never
     collected to the driver — at corpus scale the candidate set is small
     relative to the corpus but can still exceed driver memory), then the
     per-pair n-gram Jaccard runs inside map_batches over the joined rows.
-    Returns a small sorted DataFrame[url_a, url_b].
+    The bucketed join is task-based (sort-shuffle exchange, warm
+    workers) — Ray's built-in ``Dataset.join`` spawns hash-aggregator
+    actor pools per execution, which both costs ~2s and can wedge a
+    small node (ctx.py). Returns a small sorted DataFrame[url_a, url_b].
     """
+    from ..stages.join import bucketed_hash_join
 
-    def rename(suffix):
+    # the join key must be int64 for the bucketed join: hash the url once
+    # on each side (collision odds negligible; verification is exact)
+    def key_of(col):
+        return pd.util.hash_array(np.asarray(col, dtype=object)).astype(np.int64)
+
+    def rekey(id_col):
+        """Prepend int64 join key k = hash(id_col), keep every column."""
+
         def fn(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns([f"id_{suffix}", f"text_{suffix}"])
+            out = {"k": pa.array(key_of(batch.column(id_col).to_pylist()), pa.int64())}
+            for name in batch.column_names:
+                if name != "k":
+                    out[name] = batch.column(name)
+            return pa.table(out)
 
         return fn
 
-    docs_a = docs_ds.map_batches(rename("a"), batch_format="pyarrow")
-    docs_b = docs_ds.map_batches(rename("b"), batch_format="pyarrow")
-    j = cand_ds.join(docs_a, "inner", num_partitions, on=("id_a",))
-    j = j.join(docs_b, "inner", num_partitions, on=("id_b",))
+    def docs_keyed(which):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            return pa.table(
+                {
+                    "k": pa.array(key_of(urls), pa.int64()),
+                    f"text_{which}": batch.column("text"),
+                }
+            )
+
+        return fn
+
+    j = bucketed_hash_join(
+        cand_ds.map_batches(rekey("id_a"), batch_format="pyarrow"),
+        docs_ds.map_batches(docs_keyed("a"), batch_format="pyarrow"),
+        "k",
+        n_buckets=n_buckets,
+    ).drop_columns(["k"])
+    j = bucketed_hash_join(
+        j.map_batches(rekey("id_b"), batch_format="pyarrow"),
+        docs_ds.map_batches(docs_keyed("b"), batch_format="pyarrow"),
+        "k",
+        n_buckets=n_buckets,
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -114,17 +148,16 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, num_partitions=8):
 def near_dup_pairs_minhash(sf_dir, replicate=2, threshold=0.8, concurrency=4):
     """MinHash-LSH near-duplicate url pairs over the replicated corpus.
 
-    Pipeline: signatures+banding (actor pool) -> groupby (band, band_hash)
+    Pipeline: signatures+banding (task pool, coefficients cached per
+    worker process) -> groupby (band, band_hash)
     -> candidate pairs -> distributed exact-Jaccard verification (texts
     joined back by url, never driver-collected). Returns the verified
     pairs with jaccard >= threshold.
     """
     ds = pages(sf_dir, replicate=replicate).select_columns(["url", "text"])
     bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"id_col": "url", "text_col": "text"},
+        make_stage_fn(MinHashStage, id_col="url", text_col="text"),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     )
     cand = candidate_pairs_from_bands(bands)
     return _verify_pairs_jaccard(cand, ds, threshold)
@@ -207,10 +240,7 @@ def ann_topk(sf_dir, k=10, n_queries=8, concurrency=4):
     qid, qmat = _query_vectors(sf_dir, n_queries)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     partial = ds.map_batches(
-        AnnBruteStage,
-        fn_constructor_args=(qid, qmat, k),
-        batch_format="pyarrow",
-        concurrency=(1, concurrency),
+        make_stage_fn(AnnBruteStage, qid, qmat, k), batch_format="pyarrow"
     )
     return partial.groupby("query_id").map_groups(
         lambda g: ann_topk_reduce(g, k), batch_format="pandas"
@@ -263,9 +293,7 @@ def embedding_buckets(sf_dir, concurrency=2):
     """LSH bucket assignment for every embedding (the ANN scale path's
     partitioning key; same-(table, bucket) ids are near-dup candidates)."""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return ds.map_batches(
-        EmbeddingLSHStage, batch_format="pyarrow", concurrency=(1, concurrency)
-    )
+    return ds.map_batches(make_stage_fn(EmbeddingLSHStage), batch_format="pyarrow")
 
 
 def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tables=4):
@@ -282,10 +310,8 @@ def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tab
 
     ds = embeddings_replicated(sf_dir, replicate=replicate)
     buckets = ds.map_batches(
-        EmbeddingLSHStage,
-        fn_constructor_kwargs={"carry_vec": True, "n_tables": n_tables},
+        make_stage_fn(EmbeddingLSHStage, carry_vec=True, n_tables=n_tables),
         batch_format="pyarrow",
-        concurrency=(1, concurrency),
     )
     pairs = buckets.groupby(["table", "bucket"]).map_groups(
         bucket_cosine_pairs(threshold), batch_format="pandas"
@@ -324,8 +350,7 @@ def media_features(sf_dir, concurrency=2):
 
     media = docs.map_batches(to_media, batch_format="pyarrow")
     return media.map_batches(
-        DecodeImageStage,
+        make_stage_fn(DecodeImageStage),
         batch_format="pyarrow",
         batch_size=32,  # large binary rows: keep batch x concurrency in heap
-        concurrency=(1, concurrency),
     ).select_columns(["media_id", "height", "width", "mean_r", "mean_g", "mean_b"])
