@@ -98,11 +98,15 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_top_orders(sf_dir, k=10, num_partitions=16):
+def q3_top_orders(sf_dir, k=10, num_partitions=16, builtin_join=False):
     """BUILDING-segment orders before the cutoff, ranked by revenue.
 
-    customer -> broadcast semi-filter; orders |><| lineitem -> Ray's
-    hash-partitioned Dataset.join; exact integer revenue.
+    customer -> broadcast semi-filter; orders |><| lineitem -> the
+    engine's bucketed hash join by default (task-based sort-shuffle
+    exchange; ``builtin_join=True`` switches to Ray's ``Dataset.join``,
+    whose per-execution hash-aggregator actor pools cost ~2s of spawn
+    and can wedge small nodes — ctx.py); exact integer revenue. Both
+    paths are asserted identical in tests.
     """
     import pyarrow.parquet as pq
 
@@ -137,13 +141,20 @@ def q3_top_orders(sf_dir, k=10, num_partitions=16):
         )
 
     li = li.map_batches(revenue, batch_format="pyarrow")
-    joined = orders.join(
-        li,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-    )
+    if builtin_join:
+        joined = orders.join(
+            li,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+    else:
+        li = li.map_batches(
+            lambda b: b.rename_columns(["o_orderkey", "revenue_micros"]),
+            batch_format="pyarrow",
+        )
+        joined = bucketed_hash_join(orders, li, "o_orderkey", n_buckets=num_partitions)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("o_orderkey", as_index=False)["revenue_micros"].sum()

@@ -33,7 +33,7 @@ def test_q1(ray_session, con):
     assert len(out) == 6  # 3 returnflags x 2 linestatus combos
 
 
-def test_q3_builtin_join(ray_session, con):
+def test_q3_bucketed_default(ray_session, con):
     from rio_color_ray.pipelines import relational as R
 
     out = _check(R.q3_top_orders(SF), con, R.Q3_SQL)
@@ -161,3 +161,12 @@ def test_sessionize(ray_session, con):
     )
     got = rdf.groupby("user_id")["session_id"].nunique()
     pd.testing.assert_series_equal(got.sort_index(), gaps.sort_index(), check_names=False)
+
+
+def test_q3_builtin_join_matches_bucketed(ray_session, con):
+    """Ray's built-in Dataset.join path == the default bucketed path."""
+    from rio_color_ray.pipelines import relational as R
+
+    a = R.q3_top_orders(SF).to_pandas().reset_index(drop=True)
+    b = R.q3_top_orders(SF, builtin_join=True).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
