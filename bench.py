@@ -132,8 +132,18 @@ def run_scaling_child(num_cpus, n_runs=4):
 
 
 def run_scaling(lo=2, hi=8):
+    def settle(max_wait=180):
+        """Wait for the machine to go quiet: a preceding bench's worker
+        teardown contaminates the timing (measured: eff 0.45 on a busy
+        box vs 0.89 quiet for identical code)."""
+        t0 = time.time()
+        while time.time() - t0 < max_wait:
+            if os.getloadavg()[0] < 0.5:
+                return
+            time.sleep(5)
+
     def run(ncpu):
-        time.sleep(10)  # let the previous session's raylet fully wind down
+        settle()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)],
             env=dict(os.environ),
