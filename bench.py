@@ -26,7 +26,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
 
-SCALING_REPLICATE = 80
+SCALING_REPLICATE = 160
 SCALING_ZOOM = 10
 
 

@@ -7,9 +7,9 @@ oracle bit-for-bit — no float summation-order hazards.
 
 Join strategy per query (the explicit scale decisions):
 * dimension tables (nation/region/customer-subset) -> BROADCAST merge
-* orders |><| lineitem (both large) -> hash-partitioned join
-  (Ray ``Dataset.join`` in q3; our explicit ``bucketed_hash_join`` in
-  q5 — both demonstrated and oracle-checked)
+* orders |><| lineitem (both large) -> our explicit ``bucketed_hash_join``
+  (q3 and q5; q3 keeps Ray's ``Dataset.join`` as an opt-in
+  ``builtin_join=True`` variant — both oracle-checked)
 * aggregates -> per-batch partial reduce, then a small groupby
 """
 
