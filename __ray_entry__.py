@@ -80,7 +80,7 @@ def oracle_sql() -> dict[str, str]:
     from rio_color_ray.pipelines import relational as R
     from rio_color_ray.pipelines.knn import knn_sql
     from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
-    from rio_color_ray.stages.text import QUALITY_SQL
+    from rio_color_ray.stages.text import QUALITY_SQL, lang_id_sql
     from rio_color_ray.sources.polygons import make_admin_rects, rects_sql_values
     from rio_color_ray.stages.cellify import grid_cell_sql
 
@@ -134,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "quality_scores": QUALITY_SQL,
+        "lang_id": lang_id_sql(),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),

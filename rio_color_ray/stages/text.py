@@ -72,7 +72,7 @@ FROM documents
 
 # language-ID: stopword-hit scoring. Deterministic, vectorized via one
 # substring-count kernel per (lang, stopword); argmax with alphabetical
-# tie-break. A heuristic (rows-only driver check) with fixed-case tests.
+# tie-break. Value-checked against the lang_id_sql() DuckDB oracle.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "was"],
     "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
@@ -109,6 +109,36 @@ class LangIdStage:
                 "lang_score": pa.array(top, pa.int64()),
             }
         )
+
+
+def lang_id_sql() -> str:
+    """ANSI-SQL twin of :class:`LangIdStage` for the DuckDB oracle.
+
+    Same RE2 ``(?i)\\bword\\b`` count per stopword (both Arrow's
+    ``count_substring_regex`` and DuckDB's ``regexp_extract_all`` are
+    RE2, non-overlapping), same alphabetical-first argmax via an ordered
+    CASE, same ``'und'`` when the best score is 0.
+    """
+    langs = sorted(STOPWORDS)
+    scores = ", ".join(
+        "("
+        + " + ".join(
+            f"length(regexp_extract_all(text, '(?i)\\b{w}\\b', 0))"
+            for w in STOPWORDS[lang]
+        )
+        + f") AS sc_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"sc_{lang}" for lang in langs) + ")"
+    pred = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        + " ".join(f"WHEN sc_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {scores} FROM documents) "
+        f"SELECT doc_id, {pred} AS lang_pred, CAST({best} AS BIGINT) AS lang_score FROM s"
+    )
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

@@ -96,6 +96,28 @@ def test_langid_fixed_cases(ray_session):
     assert out["lang_pred"] == ["en", "de", "fr", "und"]
 
 
+def test_langid_matches_sql_oracle(ray_session):
+    """lang_id over sf0.001 must equal its DuckDB oracle value-for-value."""
+    import duckdb
+
+    from rio_color_ray.pipelines.corpus import lang_id
+    from rio_color_ray.stages.text import lang_id_sql
+
+    rdf = (
+        lang_id(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    odf = con.sql(lang_id_sql()).df().sort_values("doc_id").reset_index(drop=True)
+    odf = odf[rdf.columns].astype(rdf.dtypes.to_dict())
+    pd.testing.assert_frame_equal(rdf, odf)
+
+
 def test_fingerprint_batch_invariance(ray_session):
     """Fingerprints must not depend on batch composition (rolling hashes
     must not bleed across document boundaries)."""
