@@ -50,7 +50,19 @@ def _init_ray(num_cpus):
     return ray
 
 
+def _settle(max_wait=120):
+    """Wait for the machine to go quiet before timing: a preceding run's
+    worker teardown contaminates results (measured 5.4s vs 3.5s flagship
+    for identical code on busy vs quiet)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if os.getloadavg()[0] < 0.5:
+            return
+        time.sleep(5)
+
+
 def run_bench():
+    _settle()
     ray = _init_ray(NUM_CPUS)
     from rio_color_ray.pipelines import geo
     from rio_color_ray.pipelines.flagship import flagship
@@ -132,18 +144,9 @@ def run_scaling_child(num_cpus, n_runs=4):
 
 
 def run_scaling(lo=2, hi=8):
-    def settle(max_wait=180):
-        """Wait for the machine to go quiet: a preceding bench's worker
-        teardown contaminates the timing (measured: eff 0.45 on a busy
-        box vs 0.89 quiet for identical code)."""
-        t0 = time.time()
-        while time.time() - t0 < max_wait:
-            if os.getloadavg()[0] < 0.5:
-                return
-            time.sleep(5)
-
     def run(ncpu):
-        settle()
+        # eff measured 0.45 busy vs 0.89 quiet for identical code
+        _settle(max_wait=180)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)],
             env=dict(os.environ),
