@@ -81,14 +81,18 @@ def bucketed_hash_join(left, right, key, n_buckets=32, how="inner", suffixes=("_
 
         return fn
 
-    lschema = left.schema()
-    rschema = right.schema()
-    l_other = [
-        (rmap[c], rschema.base_schema.field(c).type) for c in rcols
-    ]
-    r_other = [
-        (lmap[c], lschema.base_schema.field(c).type) for c in lcols
-    ]
+    def pa_types(schema):
+        # Ray's Schema wrapper: Arrow-backed datasets carry pa.DataType,
+        # pandas-backed ones numpy dtypes — normalize to Arrow.
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            out[name] = typ if isinstance(typ, pa.DataType) else pa.from_numpy_dtype(typ)
+        return out
+
+    ltypes = pa_types(left.schema())
+    rtypes = pa_types(right.schema())
+    l_other = [(rmap[c], rtypes[c]) for c in rcols]
+    r_other = [(lmap[c], ltypes[c]) for c in lcols]
     lt = left.map_batches(tag(0, lmap, l_other), batch_format="pyarrow")
     rt = right.map_batches(tag(1, rmap, r_other), batch_format="pyarrow")
     both = lt.union(rt)

@@ -56,6 +56,32 @@ def test_events_windows_and_topk(ray_session, con):
     _check(R.distinct_users_per_type(SF), con, R.DISTINCT_USERS_SQL)
 
 
+def test_bucketed_join_edge_cases(ray_session):
+    """Empty side, negative keys, duplicate keys — vs a pandas oracle."""
+    import ray.data
+
+    from rio_color_ray.stages.join import bucketed_hash_join
+
+    ldf = pd.DataFrame({"k": [-5, -5, 0, 3, 7, 9], "lv": [1, 2, 3, 4, 5, 6]})
+    rdf = pd.DataFrame({"k": [-5, 3, 3, 11], "rv": [10, 20, 30, 40]})
+    out = (
+        bucketed_hash_join(
+            ray.data.from_pandas(ldf), ray.data.from_pandas(rdf), key="k", n_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = ldf.merge(rdf, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[exp.columns].astype(exp.dtypes.to_dict()), exp)
+
+    empty = pd.DataFrame({"k": pd.Series([], dtype=np.int64), "rv": pd.Series([], dtype=np.int64)})
+    out2 = bucketed_hash_join(
+        ray.data.from_pandas(ldf), ray.data.from_pandas(empty), key="k", n_buckets=4
+    )
+    assert out2.count() == 0
+
+
 def test_bucketed_join_matches_builtin(ray_session):
     """Our explicit bucketed hash join == Ray's Dataset.join, row for row."""
     import ray.data
