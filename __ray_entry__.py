@@ -114,7 +114,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rect_join": (
             f"WITH pages AS ({pages}) "
-            f"SELECT p.url AS url, r.admin_id AS admin_id "
+            f"SELECT p.url AS url, CAST(r.admin_id AS BIGINT) AS admin_id "
             f"FROM pages p JOIN {rects} ON {rect_match}"
         ),
         "rect_join_semi": (

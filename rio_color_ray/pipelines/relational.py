@@ -27,6 +27,21 @@ Q1_CUTOFF = "1998-09-02"
 Q3_DATE = "1997-01-01"
 
 
+def _cast_ts_us(*cols):
+    """Final-stage cast to timestamp[us]: Ray's sort-based aggregate
+    normalizes temporal key columns to ns; the DuckDB oracle emits us."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, pc.cast(batch.column(c), pa.timestamp("us"))
+            )
+        return batch
+
+    return fn
+
+
 def _read(sf_dir, name, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
@@ -84,13 +99,13 @@ def q1_pricing_summary(sf_dir):
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_micros,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_micros,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
            * (100 - CAST(round(l_discount * 100) AS BIGINT))
-           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_micros2,
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_micros2,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
@@ -172,8 +187,8 @@ def q3_top_orders(sf_dir, k=10, num_partitions=16, builtin_join=False):
 Q3_SQL = f"""
 SELECT o_orderkey, revenue_micros FROM (
   SELECT o.o_orderkey,
-         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_micros
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_micros
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
   JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -233,8 +248,8 @@ def q5_nation_revenue(sf_dir, n_buckets=16):
 
 
 Q5_SQL = """
-SELECT n_name, sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_micros
+SELECT n_name, CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_micros
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -258,7 +273,11 @@ def events_daily(sf_dir):
                 "value_cents": cents,
             }
         )
-        return df.groupby(["day", "event_type"], as_index=False).sum()
+        out = df.groupby(["day", "event_type"], as_index=False).sum()
+        # pyarrow's to_pandas coerces temporal cols to ns; the oracle emits
+        # timestamp[us] — pin us so the hash compare sees identical dtypes.
+        out["day"] = out["day"].astype("datetime64[us]")
+        return out
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -267,13 +286,14 @@ def events_daily(sf_dir):
             Sum("n_events", alias_name="n_events"),
             Sum("value_cents", alias_name="value_cents"),
         )
+        .map_batches(_cast_ts_us("day"), batch_format="pyarrow")
     )
 
 
 EVENTS_DAILY_SQL = """
 SELECT date_trunc('day', ts) AS day, event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -301,7 +321,7 @@ def top_users_by_value(sf_dir, k=10):
 
 TOP_USERS_SQL = """
 SELECT user_id, value_cents FROM (
-  SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
   FROM events GROUP BY user_id
 ) ORDER BY value_cents DESC, user_id LIMIT 10
 """
@@ -389,12 +409,12 @@ def q14_promo_revenue(sf_dir):
 
 Q14_SQL = """
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-       sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
              CAST(round(l_extendedprice * 100) AS BIGINT)
-             * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT)
          AS promo_revenue_micros,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
          AS total_revenue_micros
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
@@ -437,6 +457,7 @@ def events_sliding_window(sf_dir):
             Sum("n_events", alias_name="n_events"),
             Sum("value_cents", alias_name="value_cents"),
         )
+        .map_batches(_cast_ts_us("window_start"), batch_format="pyarrow")
     )
 
 
@@ -450,7 +471,7 @@ WITH assigned AS (
 )
 SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM assigned GROUP BY 1, 2
 """
 
@@ -507,8 +528,9 @@ WITH marked AS (
            ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )
-SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM numbered GROUP BY user_id, session_id
 """

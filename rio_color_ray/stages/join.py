@@ -17,6 +17,7 @@ Broadcast joins ship the small side once per actor (constructor arg /
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class BroadcastJoinStage:
@@ -83,10 +84,17 @@ def bucketed_hash_join(left, right, key, n_buckets=32, how="inner", suffixes=("_
 
     def pa_types(schema):
         # Ray's Schema wrapper: Arrow-backed datasets carry pa.DataType,
-        # pandas-backed ones numpy dtypes — normalize to Arrow.
+        # pandas-backed ones numpy dtypes — normalize to Arrow. numpy's
+        # object dtype (pandas str columns) has no direct Arrow mapping;
+        # treat it as string, the only object payload our tables carry.
         out = {}
         for name, typ in zip(schema.names, schema.types):
-            out[name] = typ if isinstance(typ, pa.DataType) else pa.from_numpy_dtype(typ)
+            if isinstance(typ, pa.DataType):
+                out[name] = typ
+            elif typ is object or getattr(np.dtype(typ), "kind", None) == "O":
+                out[name] = pa.string()
+            else:
+                out[name] = pa.from_numpy_dtype(typ)
         return out
 
     ltypes = pa_types(left.schema())
@@ -100,11 +108,15 @@ def bucketed_hash_join(left, right, key, n_buckets=32, how="inner", suffixes=("_
     lnames = [lmap[c] for c in lcols]
     rnames = [rmap[c] for c in rcols]
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0 or "__side" not in group.columns:
+    def merge_bucket(group: pa.Table) -> pd.DataFrame:
+        if group.num_rows == 0 or "__side" not in group.schema.names:
             return pd.DataFrame({key: pd.Series([], dtype=np.int64)})
-        lg = group[group["__side"] == 0][[key] + lnames]
-        rg = group[group["__side"] == 1][[key] + rnames]
+        # Slice sides in Arrow FIRST: each side's own columns are null-free
+        # there, so the pandas conversion keeps exact dtypes (int64 stays
+        # int64 — no float64 upcast that would corrupt keys above 2^53).
+        side = group.column("__side")
+        lg = group.filter(pc.equal(side, 0)).select([key] + lnames).to_pandas()
+        rg = group.filter(pc.equal(side, 1)).select([key] + rnames).to_pandas()
         return lg.merge(rg, on=key, how=how)
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")

@@ -82,6 +82,30 @@ def test_bucketed_join_edge_cases(ray_session):
     assert out2.count() == 0
 
 
+def test_bucketed_join_pandas_backed_strings(ray_session):
+    """pandas-backed Datasets with object/str non-key columns join fine
+    (np.dtype('O') has no direct Arrow mapping) and int64 dtypes survive
+    the null-union round trip without a float64 upcast."""
+    import ray.data
+
+    from rio_color_ray.stages.join import bucketed_hash_join
+
+    ldf = pd.DataFrame({"k": [1, 2, 3, 3], "name": ["a", "b", "c", "cc"]})
+    rdf = pd.DataFrame({"k": [2, 3, 4], "big": [2**60 + 1, 2**60 + 2, 2**60 + 3]})
+    out = (
+        bucketed_hash_join(
+            ray.data.from_pandas(ldf), ray.data.from_pandas(rdf), key="k", n_buckets=2
+        )
+        .to_pandas()
+        .sort_values(["k", "name"])
+        .reset_index(drop=True)
+    )
+    exp = ldf.merge(rdf, on="k").sort_values(["k", "name"]).reset_index(drop=True)
+    assert out["big"].dtype == np.int64  # exact above 2**53
+    pd.testing.assert_frame_equal(out[exp.columns], exp, check_dtype=False)
+    assert list(out["big"]) == list(exp["big"])
+
+
 def test_bucketed_join_matches_builtin(ray_session):
     """Our explicit bucketed hash join == Ray's Dataset.join, row for row."""
     import ray.data
