@@ -81,7 +81,12 @@ def oracle_sql() -> dict[str, str]:
     from rio_color_ray.pipelines.knn import knn_sql
     from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
     from rio_color_ray.stages.text import QUALITY_SQL, lang_id_sql
-    from rio_color_ray.sources.polygons import make_admin_rects, rects_sql_values
+    from rio_color_ray.sources.polygons import (
+        make_admin_polygons,
+        make_admin_rects,
+        polys_edges_sql_values,
+        rects_sql_values,
+    )
     from rio_color_ray.stages.cellify import grid_cell_sql
 
     pages = pages_sql_cte()
@@ -90,6 +95,20 @@ def oracle_sql() -> dict[str, str]:
     rect_match = (
         "CAST(round(p.lat * 1000000) AS BIGINT) BETWEEN r.min_lat_u AND r.max_lat_u "
         "AND CAST(round(p.lon * 1000000) AS BIGINT) BETWEEN r.min_lon_u AND r.max_lon_u"
+    )
+
+    # Exact SQL twin of the even-odd ray cast (spatial/rtree.py:115): a
+    # point is inside a polygon iff an odd number of its edges satisfy
+    # crosses AND lon < xint — the identical float64 expression, so the
+    # parity decision is bit-for-bit the engine's.
+    edges = polys_edges_sql_values(make_admin_polygons())
+    pip_hits = (
+        f"SELECT p.url AS url, CAST(e.admin_id AS BIGINT) AS admin_id "
+        f"FROM pages p CROSS JOIN {edges} "
+        f"GROUP BY 1, 2 "
+        f"HAVING sum(CASE WHEN ((e.y2 > p.lat) <> (e.y1 > p.lat)) "
+        f"AND p.lon < (e.x1 - e.x2) * (p.lat - e.y2) / (e.y1 - e.y2) + e.x2 "
+        f"THEN 1 ELSE 0 END) % 2 = 1"
     )
 
     return {
@@ -126,6 +145,15 @@ def oracle_sql() -> dict[str, str]:
             f"WITH pages AS ({pages}) "
             f"SELECT p.url AS url FROM pages p "
             f"WHERE NOT EXISTS (SELECT 1 FROM {rects} WHERE {rect_match})"
+        ),
+        "pip_join": f"WITH pages AS ({pages}) {pip_hits}",
+        "pip_join_semi": (
+            f"WITH pages AS ({pages}), hits AS ({pip_hits}) "
+            f"SELECT DISTINCT url FROM hits"
+        ),
+        "pip_join_anti": (
+            f"WITH pages AS ({pages}), hits AS ({pip_hits}) "
+            f"SELECT url FROM pages WHERE url NOT IN (SELECT url FROM hits)"
         ),
         "knn": knn_sql(),
         "knn_cells": knn_sql(),
