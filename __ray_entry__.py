@@ -80,7 +80,7 @@ def oracle_sql() -> dict[str, str]:
     from rio_color_ray.pipelines import relational as R
     from rio_color_ray.pipelines.knn import knn_sql
     from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
-    from rio_color_ray.stages.text import QUALITY_SQL, lang_id_sql
+    from rio_color_ray.stages.text import QUALITY_SQL, fingerprint_sql, lang_id_sql
     from rio_color_ray.sources.polygons import (
         make_admin_polygons,
         make_admin_rects,
@@ -88,6 +88,9 @@ def oracle_sql() -> dict[str, str]:
         rects_sql_values,
     )
     from rio_color_ray.stages.cellify import grid_cell_sql
+    from rio_color_ray.spatial.hexgrid import hex_cell_sql
+    from rio_color_ray.spatial.s2 import s2_cell_sql
+    from rio_color_ray.stages.cellify import S2_LEVEL
 
     pages = pages_sql_cte()
     grid = grid_cell_sql()
@@ -101,6 +104,11 @@ def oracle_sql() -> dict[str, str]:
     # point is inside a polygon iff an odd number of its edges satisfy
     # crosses AND lon < xint — the identical float64 expression, so the
     # parity decision is bit-for-bit the engine's.
+    h8_cte, h8_pack = hex_cell_sql(8, out_name="h3_r8")
+    hx8 = f"SELECT url, lang, {h8_pack} FROM ({h8_cte('pages')})"
+    s2_fn, s2_pack = s2_cell_sql(S2_LEVEL)
+    s2c = f"SELECT {s2_pack} FROM ({s2_fn('pages')})"
+
     edges = polys_edges_sql_values(make_admin_polygons())
     pip_hits = (
         f"SELECT p.url AS url, CAST(e.admin_id AS BIGINT) AS admin_id "
@@ -146,6 +154,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT p.url AS url FROM pages p "
             f"WHERE NOT EXISTS (SELECT 1 FROM {rects} WHERE {rect_match})"
         ),
+        "cell_agg_salted_h8": (
+            f"WITH pages AS ({pages}), hx AS ({hx8}) "
+            f"SELECT h3_r8, count(*) AS n_pages FROM hx GROUP BY 1"
+        ),
+        "cell_agg_h8": (
+            f"WITH pages AS ({pages}), hx AS ({hx8}), "
+            f"l AS (SELECT h3_r8, lang, count(*) AS n FROM hx GROUP BY 1, 2), "
+            f"h AS (SELECT h3_r8, string_agg(lang || ':' || n, '|' ORDER BY lang) "
+            f"       AS lang_hist FROM l GROUP BY 1), "
+            f"b AS (SELECT h3_r8, count(*) AS n_pages, "
+            f"       count(DISTINCT split_part(url, '/', 3)) AS n_domains "
+            f"       FROM hx GROUP BY 1) "
+            f"SELECT b.h3_r8 AS h3_r8, b.n_pages AS n_pages, "
+            f"b.n_domains AS n_domains, h.lang_hist AS lang_hist "
+            f"FROM b JOIN h ON b.h3_r8 = h.h3_r8"
+        ),
+        "cell_agg_s2": (
+            f"WITH pages AS ({pages}), sc AS ({s2c}) "
+            f"SELECT s2_cell, count(*) AS n_pages FROM sc GROUP BY 1"
+        ),
         "pip_join": f"WITH pages AS ({pages}) {pip_hits}",
         "pip_join_semi": (
             f"WITH pages AS ({pages}), hits AS ({pip_hits}) "
@@ -163,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quality_scores": QUALITY_SQL,
         "lang_id": lang_id_sql(),
+        "fingerprints": fingerprint_sql(),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),

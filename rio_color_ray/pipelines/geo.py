@@ -145,32 +145,41 @@ def cell_agg_salted(sf_dir, key="h3_r8"):
 
 
 def cell_agg_h8(sf_dir):
-    """Pages + distinct domains + language counts per res-8 hex cell."""
+    """Pages + distinct domains + language histogram per res-8 hex cell.
+
+    Two-level exact distinct (no unbounded per-cell Python sets): batch
+    partials count per (cell, domain, lang); a groupby over that triple
+    collapses them to TRUE distinct combos, so the per-cell group in the
+    final reduce is distinct-combo-sized — never page-sized, even for a
+    hot urban cell at 100 TB. ``lang_hist`` (SURVEY §1.2) is emitted as
+    the canonical sorted string ``"de:3|en:10"`` so the DuckDB oracle can
+    compare it value-exactly (a map column has no stable hash encoding).
+    """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(domain=batch["url"].str.split("/").str[2])
-        g = batch.groupby("h3_r8").agg(
-            n=("url", "size"), domains=("domain", lambda s: set(s))
-        )
-        g["domains"] = g["domains"].map(sorted)
-        return g.reset_index()
+        df = batch.assign(domain=batch["url"].str.split("/").str[2])
+        g = df.groupby(["h3_r8", "domain", "lang"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
 
-    ds = cellified(sf_dir, keep_columns=["url", "h3_r8"])
-    partial_ds = ds.map_batches(partial, batch_format="pandas")
+    ds = cellified(sf_dir, keep_columns=["url", "lang", "h3_r8"])
+    combos = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["h3_r8", "domain", "lang"], num_partitions=shuffle_partitions())
+        .aggregate(Sum("n", alias_name="n"))
+    )
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
-        doms = set()
-        for d in group["domains"]:
-            doms.update(d)
+        lh = group.groupby("lang")["n"].sum().sort_index()
         return pd.DataFrame(
             {
                 "h3_r8": [group["h3_r8"].iloc[0]],
                 "n_pages": [int(group["n"].sum())],
-                "n_domains": [len(doms)],
+                "n_domains": [int(group["domain"].nunique())],
+                "lang_hist": ["|".join(f"{k}:{v}" for k, v in lh.items())],
             }
         )
 
-    return partial_ds.groupby("h3_r8", num_partitions=shuffle_partitions()).map_groups(
+    return combos.groupby("h3_r8", num_partitions=shuffle_partitions()).map_groups(
         final, batch_format="pandas"
     )
 
@@ -194,9 +203,9 @@ def pip_join(sf_dir, mode="inner", concurrency=4, use_actors=False):
 
 
 def cell_agg_s2(sf_dir):
-    """Pages per S2-style quadsphere cell (Hilbert ids; no SQL oracle —
-    the curve math is not ANSI-SQL-expressible, driver does a rows-only
-    check; internal consistency is covered by tests/test_spatial.py)."""
+    """Pages per S2-style quadsphere cell (Hilbert ids). Oracle-checked
+    against the generated SQL twin ``spatial.s2.s2_cell_sql`` (the same
+    projection chain + unrolled Hilbert bit walk in DuckDB)."""
     ds = cellified(sf_dir, keep_columns=["s2_cell"])
     partial = ds.map_batches(_partial_count("s2_cell"), batch_format="pandas")
     return partial.groupby("s2_cell", num_partitions=shuffle_partitions()).aggregate(

@@ -79,6 +79,53 @@ def hex_cell(lat, lon, res):
     return _pack(res, q, r)
 
 
+def hex_cell_sql(res, lat_expr="lat", lon_expr="lon", out_name="cell"):
+    """DuckDB twin of :func:`hex_cell` as a SELECT-column chain.
+
+    Returns (cte_sql_fn, out_name): ``cte_sql_fn(src)`` yields a SQL
+    fragment selecting ``src.* `` plus the packed int64 cell id. Constants
+    (edge size, sqrt(3)/3, 2/3) are embedded via shortest-roundtrip repr
+    so every float op mirrors the numpy expression bit-for-bit; the only
+    semantic gap is round-half-even (numpy) vs half-away (SQL), which
+    needs an exact .5 fraction to differ — measure-zero for these inputs.
+    """
+    size = float(E0 / (7.0 ** (res / 2.0)))
+    c1 = float(_SQRT3 / 3.0)
+    c2 = float(2.0 / 3.0)
+    off = 1 << 27
+
+    def d(v):
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def cte(src):
+        return f"""
+SELECT * FROM (
+  SELECT *,
+    CASE WHEN (dx > dy AND dx > dz) THEN -ry0 - rz0 ELSE rx0 END AS hq,
+    CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx0 - ry0 ELSE rz0 END AS hr
+  FROM (
+    SELECT *, round(hy) AS ry0,
+      abs(rx0 - hx) AS dx, abs(round(hy) - hy) AS dy, abs(rz0 - hz) AS dz
+    FROM (
+      SELECT *, -hx - hz AS hy, round(hx) AS rx0, round(hz) AS rz0
+      FROM (
+        SELECT *, ({d(c1)} * {lon_expr} - {lat_expr} / 3.0) / {d(size)} AS hx,
+                  ({d(c2)} * {lat_expr}) / {d(size)} AS hz
+        FROM {src}
+      )
+    )
+  )
+)
+"""
+
+    pack = (
+        f"(CAST({res} AS BIGINT) * {1 << 56} "
+        f"+ (CAST(hq AS BIGINT) + {off}) * {1 << 28} "
+        f"+ (CAST(hr AS BIGINT) + {off})) AS {out_name}"
+    )
+    return cte, pack
+
+
 def hex_res(cell):
     """Resolution of a cell id."""
     return _unpack(cell)[0]

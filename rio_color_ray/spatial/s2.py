@@ -106,6 +106,78 @@ def s2_cell(lat, lon, level):
     )
 
 
+def s2_cell_sql(level, lat_expr="lat", lon_expr="lon", out_name="s2_cell"):
+    """DuckDB twin of :func:`s2_cell`: returns ``fn(src) -> SQL`` selecting
+    ``src.*`` plus the packed int64 cell id.
+
+    The trig/projection chain mirrors the numpy expressions term for term
+    (pi/180 embedded via repr); the Hilbert walk is the same top-down bit
+    loop UNROLLED into ``level`` REPLACE subqueries over BIGINT hx/hy/hd.
+    libm cos/sin may differ from numpy's by an ulp — a cell can only flip
+    if st*2^level lands within that ulp of a grid line (measure-zero;
+    verified empirically in tests at sf scale).
+    """
+    if not 1 <= level <= 26:
+        raise ValueError("level must be in [1, 26]")
+    import math
+
+    C = repr(math.pi / 180.0)
+    n = 1 << level
+    nf = float(n)
+
+    def fn(src):
+        q = f"""
+SELECT *,
+  CASE WHEN abs(sx) >= abs(sy) AND abs(sx) >= abs(sz)
+         THEN CASE WHEN sx >= 0 THEN 0 ELSE 3 END
+       WHEN abs(sy) >= abs(sz) THEN CASE WHEN sy >= 0 THEN 1 ELSE 4 END
+       ELSE CASE WHEN sz >= 0 THEN 2 ELSE 5 END END AS face
+FROM (
+  SELECT *,
+    cos({lat_expr} * {C}) * cos({lon_expr} * {C}) AS sx,
+    cos({lat_expr} * {C}) * sin({lon_expr} * {C}) AS sy,
+    sin({lat_expr} * {C}) AS sz
+  FROM {src}
+)"""
+        q = f"""
+SELECT *,
+  CASE face WHEN 0 THEN sy / sx WHEN 1 THEN -sx / sy WHEN 2 THEN -sx / sz
+            WHEN 3 THEN sz / sx WHEN 4 THEN sz / sy ELSE -sy / sz END AS fu,
+  CASE face WHEN 0 THEN sz / sx WHEN 1 THEN sz / sy WHEN 2 THEN -sy / sz
+            WHEN 3 THEN sy / sx WHEN 4 THEN -sx / sy ELSE -sx / sz END AS fv
+FROM ({q})"""
+        st = (
+            "CASE WHEN {c} >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * {c}) "
+            "ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * {c}) END"
+        )
+        q = f"""
+SELECT *,
+  CAST(least(greatest(floor(({st.format(c='fu')}) * {nf!r}), 0), {nf - 1!r}) AS BIGINT) AS hx,
+  CAST(least(greatest(floor(({st.format(c='fv')}) * {nf!r}), 0), {nf - 1!r}) AS BIGINT) AS hy,
+  CAST(0 AS BIGINT) AS hd
+FROM ({q})"""
+        s = n >> 1
+        while s > 0:
+            rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+            ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+            flip = f"({ry} = 0 AND {rx} = 1)"
+            x_f = f"(CASE WHEN {flip} THEN {n - 1} - hx ELSE hx END)"
+            y_f = f"(CASE WHEN {flip} THEN {n - 1} - hy ELSE hy END)"
+            q = f"""
+SELECT * REPLACE (
+  (CASE WHEN {ry} = 0 THEN {y_f} ELSE {x_f} END) AS hx,
+  (CASE WHEN {ry} = 0 THEN {x_f} ELSE {y_f} END) AS hy,
+  (hd + {s * s} * xor(3 * {rx}, {ry})) AS hd)
+FROM ({q})"""
+            s >>= 1
+        return q
+
+    pack = (
+        f"(CAST(face AS BIGINT) * {1 << 60} + {level} * {1 << 54} + hd) AS {out_name}"
+    )
+    return fn, pack
+
+
 def s2_level(cell):
     """Level stored in a cell id."""
     return ((np.asarray(cell, dtype=np.uint64) >> _U54) & np.uint64(0x3F)).astype(

@@ -141,12 +141,39 @@ def lang_id_sql() -> str:
     )
 
 
+# polynomial-hash constants shared by fingerprint_batch and its SQL twin:
+# token hash h = fold(h * B + codepoint) mod 2^64 from H0; 3-gram hash
+# g = (h0*P1 + h1*P2 + h2) mod 2^64. Multipliers stay < 2^30 so the
+# DuckDB twin's HUGEINT products stay < 2^95 (no 128-bit overflow).
+_FP_B = np.uint64(1000003)
+_FP_P1 = np.uint64(1000003)
+_FP_P2 = np.uint64(998244353)
+_FP_H0 = np.uint64(5381)
+
+
+def token_hashes(tokens):
+    """uint64 polynomial hash per token, vectorized over codepoints.
+
+    ``np.array(list-of-str)`` stores UTF-32 fixed-width (zero-padded), so
+    one view gives a (tokens, maxlen) codepoint matrix; the fold loops
+    over maxlen columns, not over tokens.
+    """
+    arr = np.array(tokens)
+    codes = arr.view(np.uint32).reshape(len(tokens), -1)
+    h = np.full(len(tokens), _FP_H0, dtype=np.uint64)
+    for j in range(codes.shape[1]):
+        c = codes[:, j].astype(np.uint64)
+        h = np.where(c != 0, h * _FP_B + c, h)
+    return h
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Rolling-hash document fingerprint (min 3-gram token hash).
 
-    Tokens are exploded once, hashed vectorized (pd.util.hash_array,
-    deterministic across processes), combined into rolling 3-gram hashes,
-    and segment-reduced with np.minimum.reduceat — no per-row Python.
+    Tokens are exploded once, hashed vectorized (polynomial codepoint
+    hash — deterministic across processes AND expressible in SQL, see
+    :func:`fingerprint_sql`), combined into rolling 3-gram hashes, and
+    segment-reduced with np.minimum.reduceat — no per-row Python.
     """
     texts = batch.column("text").to_pylist()
     token_lists = [t.split() for t in texts]
@@ -158,15 +185,14 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         return pa.table(
             {"doc_id": doc_id, "fingerprint": pa.array([0] * len(texts), pa.int64())}
         )
-    h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
-    # rolling 3-gram hash g[i] = h[i] ^ h[i+1]*P1 ^ h[i+2]*P2, valid only
+    h = token_hashes(flat)
+    # rolling 3-gram hash g[i] = h[i]*P1 + h[i+1]*P2 + h[i+2], valid only
     # where the whole gram lies inside one document (no cross-doc bleed —
     # fingerprints must not depend on batch composition). Docs with < 3
     # tokens fall back to the min token hash.
-    P1, P2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
-    g = h.copy()
-    g[:-1] ^= h[1:] * P1
-    g[:-2] ^= h[2:] * P2
+    g = np.zeros_like(h)
+    if len(h) >= 3:
+        g[:-2] = h[:-2] * _FP_P1 + h[1:-1] * _FP_P2 + h[2:]
     seg = np.repeat(np.arange(len(texts)), counts)
     valid3 = np.zeros(len(h), dtype=bool)
     if len(h) >= 3:
@@ -188,3 +214,30 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def fingerprint_sql() -> str:
+    """DuckDB twin of :func:`fingerprint_batch` (exact, incl. non-ASCII).
+
+    Token hash folded with list_reduce over per-character codepoints in
+    HUGEINT (products < 2^95), 3-gram min via list_transform over index
+    ranges — the same mod-2^64 arithmetic as the numpy uint64 wraparound.
+    """
+    mod64, mod63 = 1 << 64, 1 << 63
+    return f"""
+WITH th AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\\S+'),
+    t -> list_reduce(
+           list_prepend(CAST({int(_FP_H0)} AS HUGEINT),
+             list_transform(regexp_extract_all(t, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+           (a, b) -> (a * {int(_FP_B)} + b) % {mod64}::HUGEINT)) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST(CASE WHEN len(hs) = 0 THEN 0
+         WHEN len(hs) < 3 THEN list_min(hs)
+         ELSE list_min(list_transform(range(1, len(hs) - 1),
+                i -> (hs[i] * {int(_FP_P1)} + hs[i+1] * {int(_FP_P2)} + hs[i+2])
+                     % {mod64}::HUGEINT))
+       END % {mod63}::HUGEINT AS BIGINT) AS fingerprint
+FROM th
+"""
