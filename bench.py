@@ -18,6 +18,7 @@ Both pairs are recorded in BASELINE.md.
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -106,6 +107,10 @@ def run_bench():
         "n_tiles": int(n_tiles),
         "n_tiles_z10": int(n_tiles_z10),
         "rows_joined_tiled_per_sec": round(n_pages / flag_sec, 1),
+        # the BASELINE.json headline names both rates: pages through the
+        # join+tile path, and color-corrected tiles out of the color stage
+        "color_tiles_per_sec": round(n_tiles / flag_sec, 1),
+        "color_tiles_per_sec_z10": round(n_tiles_z10 / queries["flagship_z10"], 1),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -123,7 +128,7 @@ def run_scaling_child(num_cpus, n_runs=4):
         t0 = time.time()
         n_tiles = flagship(SF_DIR, replicate=SCALING_REPLICATE, z=SCALING_ZOOM).count()
         times.append(time.time() - t0)
-    dt = sorted(times)[len(times) // 2]
+    dt = statistics.median(times)
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows

@@ -29,5 +29,12 @@ try:  # pragma: no cover - trivial guard
     from .ctx import tune_data_context
 
     tune_data_context()
-except Exception:
-    pass
+except (ImportError, AttributeError) as _e:  # e.g. a Ray DataContext rename
+    import warnings
+
+    warnings.warn(
+        f"rio_color_ray: DataContext tuning failed ({_e!r}); running with "
+        "Ray's default shuffle strategy — see rio_color_ray/ctx.py",
+        RuntimeWarning,
+        stacklevel=2,
+    )

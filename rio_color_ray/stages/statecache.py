@@ -24,14 +24,36 @@ it from the object store once; the closure then ships only the ref.
 """
 
 import uuid
+from collections import OrderedDict
 
+# token -> stage instance, bounded per group (see _GROUP_CAP): Ray worker
+# processes are long-lived, and every pipeline construction mints a fresh
+# token, so an unbounded dict would leak one stage (with its STRtree /
+# index) per pipeline build per worker. Keying on args instead is unsafe
+# here — stage args include DataFrames and numpy matrices whose cheap
+# hashes could collide, and silently reusing the WRONG state is worse
+# than a rebuild.
 _PROCESS_CACHE = {}
+_GROUP_LRU = {}
+_GROUP_CAP = 4  # distinct live stages per class per worker; LRU beyond
 
 
-def process_cached(key, builder):
-    """Build-once-per-worker-process memoization."""
+def process_cached(key, builder, group=None):
+    """Build-once-per-worker-process memoization.
+
+    ``group`` (e.g. the stage class name) bounds how many entries the
+    group may hold; least-recently-used extras are evicted so repeated
+    pipeline constructions don't grow worker memory without bound.
+    """
     if key not in _PROCESS_CACHE:
         _PROCESS_CACHE[key] = builder()
+    if group is not None:
+        lru = _GROUP_LRU.setdefault(group, OrderedDict())
+        lru[key] = None
+        lru.move_to_end(key)
+        while len(lru) > _GROUP_CAP:
+            old, _ = lru.popitem(last=False)
+            _PROCESS_CACHE.pop(old, None)
     return _PROCESS_CACHE[key]
 
 
@@ -44,7 +66,7 @@ def make_stage_fn(cls, *args, **kwargs):
     token = f"{cls.__name__}-{uuid.uuid4().hex}"
 
     def stage_fn(batch):
-        stage = process_cached(token, lambda: cls(*args, **kwargs))
+        stage = process_cached(token, lambda: cls(*args, **kwargs), group=cls.__name__)
         return stage(batch)
 
     stage_fn.__name__ = f"{cls.__name__}Fn"
