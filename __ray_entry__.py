@@ -81,6 +81,11 @@ def oracle_sql() -> dict[str, str]:
     from rio_color_ray.pipelines.knn import knn_sql
     from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
     from rio_color_ray.stages.text import QUALITY_SQL, fingerprint_sql, lang_id_sql
+    from rio_color_ray.stages.dedup import (
+        near_dup_jaccard_sql,
+        near_dup_minhash_sql,
+        near_dup_simhash_sql,
+    )
     from rio_color_ray.sources.polygons import (
         make_admin_polygons,
         make_admin_rects,
@@ -192,6 +197,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": QUALITY_SQL,
         "lang_id": lang_id_sql(),
         "fingerprints": fingerprint_sql(),
+        "near_dup_minhash": near_dup_minhash_sql(),
+        "near_dup_jaccard": near_dup_jaccard_sql(),
+        "near_dup_simhash": near_dup_simhash_sql(),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),

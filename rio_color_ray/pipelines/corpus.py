@@ -17,7 +17,6 @@ from ..stages.dedup import (
     MinHashStage,
     candidate_pairs_from_bands,
     exact_dedup,
-    hamming64,
     jaccard,
     simhash_batch,
 )
@@ -83,7 +82,8 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
     The bucketed join is task-based (sort-shuffle exchange, warm
     workers) — Ray's built-in ``Dataset.join`` spawns hash-aggregator
     actor pools per execution, which both costs ~2s and can wedge a
-    small node (ctx.py). Returns a small sorted DataFrame[url_a, url_b].
+    small node (ctx.py). Returns a Dataset[url_a, url_b] (stays in the
+    cluster; callers that need a driver copy call to_pandas themselves).
     """
     from ..stages.join import bucketed_hash_join
 
@@ -131,7 +131,9 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
-            return pd.DataFrame({"url_a": [], "url_b": []})
+            return pd.DataFrame(
+                {"url_a": pd.Series([], dtype=str), "url_b": pd.Series([], dtype=str)}
+            )
         ok = np.asarray(
             [
                 jaccard(a, b) >= threshold
@@ -141,8 +143,7 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
         out = batch.loc[ok, ["id_a", "id_b"]]
         return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
 
-    verified = j.map_batches(verify, batch_format="pandas")
-    return verified.to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    return j.map_batches(verify, batch_format="pandas")
 
 
 def near_dup_pairs_minhash(sf_dir, replicate=2, threshold=0.8, concurrency=4):
@@ -176,22 +177,37 @@ def near_dup_pairs_jaccard(sf_dir, replicate=2, threshold=0.8):
     then the same distributed exact-Jaccard verification runs. Shuffle
     key = shingle hash.
     """
-    from ..stages.dedup import _shingle_hashes
+    from ..stages.dedup import shingle_hash_arrays
 
     ds = pages(sf_dir, replicate=replicate).select_columns(["url", "text"])
 
     def min_shingles(batch: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for u, t in zip(batch.column("url").to_pylist(), batch.column("text").to_pylist()):
-            sh = np.unique(_shingle_hashes(t))
-            for v in sh[:K_MIN_SHINGLES]:
-                ids.append(u)
-                keys.append(int(v % np.uint64(1 << 63)))
+        """Each doc's K smallest DISTINCT shingle hashes as candidate keys
+        — one lexsort over (doc, gram), a first-occurrence mask, and a
+        per-segment rank; no per-document loop."""
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+        texts = batch.column("text").to_pylist()
+        grams, gcounts = shingle_hash_arrays(texts)
+        seg = np.repeat(np.arange(len(texts)), gcounts)
+        order = np.lexsort((grams, seg))
+        gs, ss = grams[order], seg[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+        ds_g, ds_seg = gs[first], ss[first]
+        # rank of each distinct gram within its doc (docs sorted ascending)
+        pos = np.arange(len(ds_seg))
+        is_start = np.ones(len(ds_seg), dtype=bool)
+        is_start[1:] = ds_seg[1:] != ds_seg[:-1]
+        run_lens = np.diff(np.append(np.flatnonzero(is_start), len(ds_seg)))
+        rank = pos - np.repeat(pos[is_start], run_lens)
+        keep = rank < K_MIN_SHINGLES
         return pa.table(
             {
-                "id": pa.array(ids),
-                "band": pa.array(np.zeros(len(ids), dtype=np.int64)),
-                "band_hash": pa.array(keys, pa.int64()),
+                "id": pa.array(urls[ds_seg[keep]]),
+                "band": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+                "band_hash": pa.array(
+                    (ds_g[keep] % np.uint64(1 << 63)).astype(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -201,25 +217,30 @@ def near_dup_pairs_jaccard(sf_dir, replicate=2, threshold=0.8):
 
 
 def near_dup_pairs_simhash(sf_dir, replicate=2, max_hamming=3):
-    """SimHash near-dup url pairs (banded 16-bit keys, verified Hamming)."""
+    """SimHash near-dup url pairs (banded 16-bit keys, verified Hamming).
+
+    Within-bucket Hamming verification is one XOR+popcount matrix per
+    bucket (capped, see stages/dedup.py); cross-band duplicates collapse
+    in a distributed groupby — the pair list never lands on the driver.
+    Returns a Dataset[url_a, url_b].
+    """
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import simhash_bucket_pairs
+
     ds = pages(sf_dir, replicate=replicate).select_columns(["url", "text"])
     bands = ds.map_batches(
         simhash_batch(id_col="url", text_col="text"), batch_format="pyarrow"
     )
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group["id"], group["simhash"])))
-        out_a, out_b = [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if hamming64(rows[i][1], rows[j][1]) <= max_hamming:
-                    out_a.append(rows[i][0])
-                    out_b.append(rows[j][0])
-        return pd.DataFrame({"url_a": out_a, "url_b": out_b})
-
-    cand = bands.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    out = cand.to_pandas().drop_duplicates()
-    return out.sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        simhash_bucket_pairs(max_hamming), batch_format="pandas"
+    )
+    return (
+        cand.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+        .rename_columns({"id_a": "url_a", "id_b": "url_b"})
+    )
 
 
 # --- similarity search ------------------------------------------------------
@@ -302,10 +323,13 @@ def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tab
     Fully distributed: vectors ride the shuffle with their bucket key
     (``carry_vec=True``); each (table, bucket) group verifies with one
     matmul in ``map_groups``; pair duplicates across tables collapse in a
-    final drop_duplicates. Nothing reaches the driver until the (small)
-    pair list. ``replicate=2`` plants one jittered near-dup per vector so
-    the operator's recall is testable (tests assert >= 95% found).
+    distributed groupby — the pair list never lands on the driver.
+    ``replicate=2`` plants one jittered near-dup per vector so the
+    operator's recall is testable (tests assert >= 95% found). Returns a
+    Dataset[vec_id_a, vec_id_b].
     """
+    from ray.data.aggregate import Count
+
     from ..stages.dedup import bucket_cosine_pairs
 
     ds = embeddings_replicated(sf_dir, replicate=replicate)
@@ -316,11 +340,10 @@ def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tab
     pairs = buckets.groupby(["table", "bucket"]).map_groups(
         bucket_cosine_pairs(threshold), batch_format="pandas"
     )
-    pdf = pairs.to_pandas()
-    if pdf.empty:  # an all-empty Dataset drops its column names
-        return pd.DataFrame({"vec_id_a": [], "vec_id_b": []})
     return (
-        pdf.drop_duplicates().sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+        pairs.groupby(["vec_id_a", "vec_id_b"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
     )
 
 

@@ -169,7 +169,7 @@ def test_minhash_finds_exact_duplicates_and_verifies(ray_session):
     from rio_color_ray.pipelines.corpus import near_dup_pairs_minhash
     from rio_color_ray.stages.dedup import MinHashStage, jaccard
 
-    pairs = near_dup_pairs_minhash(SF, replicate=2, threshold=0.8)
+    pairs = near_dup_pairs_minhash(SF, replicate=2, threshold=0.8).to_pandas()
     # every doc's (r0, r1) pair must be present (identical text, J = 1)
     a_ids = pairs["url_a"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
     b_ids = pairs["url_b"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
@@ -185,7 +185,7 @@ def test_minhash_finds_exact_duplicates_and_verifies(ray_session):
 def test_simhash_identical_docs_collide(ray_session):
     from rio_color_ray.pipelines.corpus import near_dup_pairs_simhash
 
-    pairs = near_dup_pairs_simhash(SF, replicate=2, max_hamming=3)
+    pairs = near_dup_pairs_simhash(SF, replicate=2, max_hamming=3).to_pandas()
     a_ids = pairs["url_a"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
     b_ids = pairs["url_b"].str.rsplit("/", n=1).str[1].astype(np.int64) % 10_000_000
     assert (a_ids == b_ids).sum() == 500  # all replica pairs found
@@ -234,7 +234,7 @@ def test_embedding_near_dup_synthetic(ray_session, tmp_path):
         }
     )
     pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
-    pairs = embedding_near_dup(str(tmp_path), threshold=0.95)
+    pairs = embedding_near_dup(str(tmp_path), threshold=0.95).to_pandas()
     got = set(zip(pairs["vec_id_a"], pairs["vec_id_b"]))
     assert {(0, 50), (0, 51), (50, 51), (1, 52)} <= got
 
@@ -248,8 +248,8 @@ def test_jaccard_near_dup_matches_minhash_on_replicated(ray_session):
         near_dup_pairs_minhash,
     )
 
-    mh = near_dup_pairs_minhash(SF)
-    jc = near_dup_pairs_jaccard(SF)
+    mh = near_dup_pairs_minhash(SF).to_pandas()
+    jc = near_dup_pairs_jaccard(SF).to_pandas()
     assert set(zip(mh["url_a"], mh["url_b"])) == set(zip(jc["url_a"], jc["url_b"]))
     assert len(jc) >= 500  # one exact-dup pair per doc guaranteed
 
@@ -259,7 +259,7 @@ def test_embedding_near_dup_planted_recall(ray_session):
     multi-table LSH + bucket-cosine pipeline must recover >=95%."""
     from rio_color_ray.pipelines.corpus import VEC_REP_STRIDE, embedding_near_dup
 
-    pairs = embedding_near_dup(SF, replicate=2)
+    pairs = embedding_near_dup(SF, replicate=2).to_pandas()
     found = set(zip(pairs["vec_id_a"], pairs["vec_id_b"]))
     hit = sum((v, v + VEC_REP_STRIDE) in found for v in range(500))
     assert hit / 500 >= 0.95
@@ -273,3 +273,79 @@ def test_media_features_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 500 and (a["height"] == 16).all()
     assert a["mean_r"].between(0, 255).all()
+
+
+# --- LSH scale guards --------------------------------------------------------
+
+
+def test_candidate_pairs_mega_bucket_bounded(ray_session):
+    """A planted identical-text cluster (5k docs, every band colliding)
+    must complete quickly with LINEAR output: buckets over the cap
+    degrade to star pairs against the min id instead of emitting
+    n(n-1)/2 pairs (stages/dedup.py MAX_BUCKET_PAIRS_IDS)."""
+    import ray.data
+
+    from rio_color_ray.stages.dedup import MinHashStage, candidate_pairs_from_bands
+
+    n = 5000
+    t = pa.table(
+        {
+            "url": [f"u{i:05d}" for i in range(n)],
+            "text": ["the same boilerplate text repeated everywhere"] * n,
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    bands = ds.map_batches(
+        MinHashStage(id_col="url", text_col="text"), batch_format="pyarrow"
+    )
+    pairs = candidate_pairs_from_bands(bands).to_pandas()
+    # star per bucket, same min id in every band -> exactly n-1 pairs
+    assert len(pairs) == n - 1
+    assert (pairs["id_a"] == "u00000").all()
+
+
+def test_minhash_signatures_batch_invariant(ray_session):
+    """Vectorized signatures must not depend on batch composition and
+    must be identical for identical texts."""
+    from rio_color_ray.stages.dedup import MinHashStage
+
+    stage = MinHashStage()
+    texts = ["alpha beta gamma delta eps", "one two", "x", "", "alpha beta gamma delta eps"]
+    sig_all = stage.signatures(texts)
+    for i, t in enumerate(texts):
+        assert (stage.signature(t) == sig_all[i]).all()
+    assert (sig_all[0] == sig_all[4]).all()
+    assert (sig_all[0] != sig_all[1]).any()
+
+
+def test_hamming_matrix_matches_scalar(ray_session):
+    from rio_color_ray.stages.dedup import hamming64, hamming_matrix
+
+    rng = np.random.default_rng(3)
+    sims = rng.integers(0, 1 << 62, 20, dtype=np.int64)
+    m = hamming_matrix(sims)
+    for i in range(20):
+        for j in range(20):
+            assert m[i, j] == hamming64(sims[i], sims[j])
+
+
+def test_shingle_hash_arrays_matches_naive(ray_session):
+    """The exploded+scattered gram construction must equal the per-doc
+    definition (rolling fold with end padding) for every length class."""
+    from rio_color_ray.stages.dedup import shingle_hash_arrays
+    from rio_color_ray.stages.text import _FP_H0, _FP_P1, _FP_P2, token_hashes
+
+    texts = ["a b c d e", "p q", "z", "", "m n o"]
+    grams, gcounts = shingle_hash_arrays(texts)
+    starts = np.cumsum(gcounts) - gcounts
+    for i, t in enumerate(texts):
+        toks = t.split()
+        hs = list(token_hashes(toks)) if toks else []
+        while len(hs) < 3:
+            hs.append(_FP_H0)
+        exp = [
+            hs[j] * _FP_P1 + hs[j + 1] * _FP_P2 + hs[j + 2]
+            for j in range(max(1, len(toks) - 2))
+        ]
+        got = grams[starts[i] : starts[i] + gcounts[i]].tolist()
+        assert got == [int(e) for e in exp], t
