@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cells": knn.knn_cells,
         # tiles + color
         "render_tiles": tiles.render_tiles,
+        "render_tiles_content": tiles.render_tiles_content,
         "color_tiles": tiles.color_tiles,
         # text analysis
         "token_counts": corpus.token_counts,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         rects_sql_values,
     )
     from rio_color_ray.stages.cellify import grid_cell_sql
+    from rio_color_ray.pipelines.tiles import render_tiles_content_sql
     from rio_color_ray.spatial.hexgrid import hex_cell_sql
     from rio_color_ray.spatial.s2 import s2_cell_sql
     from rio_color_ray.stages.cellify import S2_LEVEL
@@ -194,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents"
         ),
+        "render_tiles_content": render_tiles_content_sql(),
         "quality_scores": QUALITY_SQL,
         "lang_id": lang_id_sql(),
         "fingerprints": fingerprint_sql(),

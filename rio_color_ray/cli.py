@@ -50,6 +50,35 @@ jobs_opt = click.option(
     "1 (default) runs the fused task-pool path.",
 )
 
+# the reference's GDAL creation-options passthrough (--co compress=jpeg,
+# scripts/cli.py:85) in Parquet form: NAME=VALUE pairs forwarded to the
+# Parquet writer (compression=zstd, compression_level=9, ...); the file-
+# sizing keys min/max_rows_per_file go to the Ray write operator itself.
+co_opt = click.option(
+    "--co",
+    "creation_options",
+    multiple=True,
+    metavar="NAME=VALUE",
+    help="Parquet creation option, repeatable: e.g. --co compression=zstd "
+    "--co max_rows_per_file=100000",
+)
+
+def parse_creation_options(pairs):
+    """NAME=VALUE pairs -> write_parquet kwargs (named operator params like
+    max_rows_per_file bind to Ray's write_parquet signature; everything
+    else reaches the pyarrow writer). Bad pairs -> UsageError."""
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise click.UsageError(f"--co expects NAME=VALUE, got {p!r}")
+        k, v = p.split("=", 1)
+        if v.lstrip("-").isdigit():
+            v = int(v)
+        elif v.lower() in ("true", "false"):
+            v = v.lower() == "true"
+        out[k] = v
+    return out
+
 
 def check_jobs(jobs):
     """Validate jobs exactly like the reference (cli.py:22-30)."""
@@ -69,6 +98,7 @@ def engine():
 
 @engine.command("color")
 @jobs_opt
+@co_opt
 @click.option(
     "--out-dtype",
     "-d",
@@ -78,7 +108,7 @@ def engine():
 @click.argument("src_path", type=click.Path(exists=True))
 @click.argument("dst_path", type=click.Path(exists=False))
 @click.argument("operations", nargs=-1, required=True)
-def color(jobs, out_dtype, src_path, dst_path, operations):
+def color(jobs, creation_options, out_dtype, src_path, dst_path, operations):
     """Color correction over a Parquet tiles table.
 
     Operations are applied to every tile in the specified order, e.g.:
@@ -96,13 +126,14 @@ def color(jobs, out_dtype, src_path, dst_path, operations):
     except ValueError as exc:
         raise click.UsageError(str(exc))
     jobs = check_jobs(jobs)
+    co = parse_creation_options(creation_options)
 
     ray = _ensure_ray()
     tiles = ray.data.read_parquet(src_path)
     out = color_stage(
         tiles, ops_string, concurrency=jobs, use_actors=jobs > 1, out_dtype=out_dtype
     )
-    out.write_parquet(dst_path)
+    out.write_parquet(dst_path, **co)
     click.echo(f"wrote {dst_path}")
 
 
@@ -126,7 +157,8 @@ def color(jobs, out_dtype, src_path, dst_path, operations):
 @click.argument("src_path", required=True)
 @click.argument("dst_path", type=click.Path(exists=False))
 @jobs_opt
-def atmos(atmo, contrast, bias, out_dtype, as_color, src_path, dst_path, jobs):
+@co_opt
+def atmos(atmo, contrast, bias, out_dtype, as_color, src_path, dst_path, jobs, creation_options):
     """Atmospheric correction (reference cli.py:124-219)."""
     from .color import simple_atmo_opstring
     from .pipelines.tiles import color_stage
@@ -137,13 +169,14 @@ def atmos(atmo, contrast, bias, out_dtype, as_color, src_path, dst_path, jobs):
         click.echo(f"engine color {src_path} {dst_path} {opstring}")
         return
     jobs = check_jobs(jobs)
+    co = parse_creation_options(creation_options)
 
     ray = _ensure_ray()
     tiles = ray.data.read_parquet(src_path)
     out = color_stage(
         tiles, opstring, concurrency=jobs, use_actors=jobs > 1, out_dtype=out_dtype
     )
-    out.write_parquet(dst_path)
+    out.write_parquet(dst_path, **co)
     click.echo(f"wrote {dst_path}")
 
 

@@ -175,17 +175,23 @@ def knn_cells(sf_dir, k=5, n_queries=100, res=6, radius=2, max_rounds=4):
                 }
             )
 
-        # the partial candidate set is bounded (<= k per query per batch),
-        # so the per-round reduce fits on the driver at any input scale
-        pdf = cell_pts.map_batches(local_pairs, batch_format="pandas").to_pandas()
+        # reduce per query INSIDE the dataset (groupby on query_id), so
+        # the driver only ever collects <= k rows per query — independent
+        # of the input's block count (the per-batch partials never land
+        # on the driver)
+        def topk_d2(g: pd.DataFrame, k=k) -> pd.DataFrame:
+            return g.sort_values(["d2", "url"], kind="mergesort").head(k)
+
+        pdf = (
+            cell_pts.map_batches(local_pairs, batch_format="pandas")
+            .groupby("query_id")
+            .map_groups(topk_d2, batch_format="pandas")
+            .to_pandas()
+        )
         if len(pdf) == 0 or "query_id" not in pdf.columns:
             r *= 2
             continue
-        pdf = (
-            pdf.sort_values(["query_id", "d2", "url"], kind="mergesort")
-            .groupby("query_id", as_index=False)
-            .head(k)
-        )
+        pdf = pdf.sort_values(["query_id", "d2", "url"], kind="mergesort")
         pdf["rank"] = pdf.groupby("query_id").cumcount() + 1
 
         # guarantee check: k found AND k-th distance within the proven radius

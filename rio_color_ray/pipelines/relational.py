@@ -224,18 +224,24 @@ def q5_nation_revenue(sf_dir, n_buckets=16):
     li = li.map_batches(revenue, batch_format="pyarrow")
     joined = bucketed_hash_join(orders, li, key="o_orderkey", n_buckets=n_buckets)
 
+    # customer |><| nation is small but NOT tiny (150k x sf rows): ship it
+    # once through the object store (ray.put; BroadcastJoinStage resolves
+    # the ref per worker) instead of re-pickling it into every task
+    import ray
+
+    from ..stages.join import BroadcastJoinStage
+    from ..stages.statecache import make_stage_fn
+
     cust_nation = cust.merge(
         nation[["n_nationkey", "n_name"]],
         left_on="c_nationkey",
         right_on="n_nationkey",
-    )[["c_custkey", "n_name"]]
+    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
 
     with_nation = joined.map_batches(
-        lambda b: b.merge(cust_nation, left_on="o_custkey", right_on="c_custkey")[
-            ["n_name", "revenue_micros"]
-        ],
+        make_stage_fn(BroadcastJoinStage, ray.put(cust_nation), "o_custkey"),
         batch_format="pandas",
-    )
+    ).select_columns(["n_name", "revenue_micros"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("n_name", as_index=False)["revenue_micros"].sum()
@@ -328,29 +334,36 @@ SELECT user_id, value_cents FROM (
 
 
 def distinct_users_per_type(sf_dir):
-    """count(distinct user_id) via two-phase distinct-then-count."""
+    """count(distinct user_id) via TWO-LEVEL exact distinct.
+
+    Level 1 partitions by the (event_type, user_id) PAIR — the groupby
+    collapses duplicates with a group per distinct combo, so no reducer
+    ever holds one event_type's full user set (5 event types would
+    otherwise mean 5 giant groups at 100 TB). Level 2 counts the combo
+    rows per type: batch partial counts into a 5-row groupby.
+    """
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.drop_duplicates()
 
-    def count_distinct(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0 or "event_type" not in group.columns:
-            return pd.DataFrame(
-                {"event_type": pd.Series([], dtype=object), "n_users": pd.Series([], dtype=np.int64)}
-            )
-        return pd.DataFrame(
-            {
-                "event_type": [group["event_type"].iloc[0]],
-                "n_users": [group["user_id"].nunique()],
-            }
-        )
-
-    # per-batch dedup shrinks the shuffle; per-type final exact distinct
-    return (
+    combos = (
         ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_type", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    return (
+        combos.map_batches(count_partial, batch_format="pandas")
         .groupby("event_type")
-        .map_groups(count_distinct, batch_format="pandas")
+        .aggregate(Sum("n", alias_name="n_users"))
     )
 
 

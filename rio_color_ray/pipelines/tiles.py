@@ -175,3 +175,111 @@ def color_tiles(
     parse_operations(ops)  # fail fast BEFORE launching work (cf. cli.py:95-98)
     tiles = render_tiles(sf_dir, z, replicate=replicate)
     return color_stage(tiles, ops, concurrency=concurrency, use_actors=use_actors)
+
+
+def render_tiles_sql(z=DEFAULT_ZOOM):
+    """DuckDB twin of :func:`render_tiles` including the pixel BLOBs.
+
+    The slippy-map projection mirrors spatial/geo.py term for term
+    (asinh written as ln(x + sqrt(x^2+1)) — DuckDB lacks asinh; libm may
+    differ from numpy by an ulp, which only matters if fy*n*32 lands
+    within that ulp of an integer pixel edge: measure-zero, verified
+    empirically at sf scale). Pixel buffers are assembled band-major as
+    hex (format + string_agg ORDER BY band, pix) then unhex'd to BLOB —
+    byte-for-byte the engine's (tiles, 3, 32, 32) C-order layout.
+    """
+    from ..sources.pages import pages_sql_cte
+    from ..spatial.geo import _MAX_MERC_LAT
+
+    n = float(2**z)
+    ts = TILE_SIZE
+    npix = ts * ts
+    asinh = "ln(t + sqrt(t * t + 1.0))"
+    return f"""
+WITH pages AS ({pages_sql_cte()}),
+pts AS (
+  SELECT greatest(least(lat, {_MAX_MERC_LAT!r}), {-_MAX_MERC_LAT!r}) AS lat, lon
+  FROM pages
+),
+m AS (
+  SELECT (lon + 180.0) / 360.0 * {n!r} AS fxn,
+         (1.0 - ({asinh}) / pi()) / 2.0 * {n!r} AS fyn
+  FROM (SELECT lat, lon, tan(radians(lat)) AS t FROM pts)
+),
+t AS (
+  SELECT CAST(least(greatest(floor(fxn), 0), {n - 1!r}) AS INTEGER) AS xt,
+         CAST(least(greatest(floor(fyn), 0), {n - 1!r}) AS INTEGER) AS yt,
+         fxn, fyn
+  FROM m
+),
+p AS (
+  SELECT xt, yt,
+         CAST(least(greatest(floor((fyn - yt) * {ts}), 0), {ts - 1}) AS BIGINT) * {ts}
+         + CAST(least(greatest(floor((fxn - xt) * {ts}), 0), {ts - 1}) AS BIGINT) AS pix
+  FROM t
+),
+counts AS (SELECT xt, yt, pix, count(*) AS n FROM p GROUP BY 1, 2, 3),
+tiles AS (SELECT DISTINCT xt, yt FROM counts),
+grid AS (
+  SELECT tiles.xt, tiles.yt, b.b AS band, i.i AS pix
+  FROM tiles
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS b) b
+  CROSS JOIN (SELECT unnest(range(0, {npix})) AS i) i
+),
+bytes AS (
+  SELECT g.xt, g.yt, g.band, g.pix,
+    CASE g.band
+      WHEN 0 THEN CAST(least(greatest(round(32.0 * log2(1.0 + coalesce(c.n, 0))), 0), 255) AS BIGINT)
+      WHEN 1 THEN CASE WHEN coalesce(c.n, 0) > 0 THEN 255 ELSE 0 END
+      ELSE coalesce(c.n, 0) % 256
+    END AS v
+  FROM grid g LEFT JOIN counts c ON c.xt = g.xt AND c.yt = g.yt AND c.pix = g.pix
+),
+blobs AS (
+  SELECT xt, yt,
+         unhex(string_agg(format('{{:02x}}', v), '' ORDER BY band, pix)) AS pixels
+  FROM bytes GROUP BY xt, yt
+)
+SELECT CAST({z} AS VARCHAR) || '/' || CAST(xt AS VARCHAR) || '/' || CAST(yt AS VARCHAR)
+         AS tile_id,
+       CAST({z} AS INTEGER) AS z, xt AS x, yt AS y,
+       CAST(3 AS UTINYINT) AS band_count,
+       CAST('uint8' AS VARCHAR) AS dtype,
+       CAST({ts} AS INTEGER) AS width, CAST({ts} AS INTEGER) AS height,
+       pixels
+FROM blobs
+"""
+
+
+def render_tiles_content(sf_dir, z=DEFAULT_ZOOM):
+    """render_tiles with the pixel buffer hex-encoded (VARCHAR).
+
+    The driver's value-hash comparator needs hashable cells; DuckDB
+    returns BLOBs as bytearray, so the binary ``pixels`` column can't be
+    compared directly. This twin of :func:`render_tiles` carries the
+    SAME bytes as lowercase hex — the oracle (render_tiles_sql minus the
+    unhex) verifies full tile content, not just ids.
+    """
+    ds = render_tiles(sf_dir, z)
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            if name == "pixels":
+                cols["pixels_hex"] = pa.array(
+                    [v.hex() for v in batch.column("pixels").to_pylist()], pa.string()
+                )
+            else:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    return ds.map_batches(to_hex, batch_format="pyarrow")
+
+
+def render_tiles_content_sql(z=DEFAULT_ZOOM):
+    """Oracle for render_tiles_content: the full twin, hex instead of BLOB."""
+    sql = render_tiles_sql(z)
+    return sql.replace(
+        "unhex(string_agg(format('{:02x}', v), '' ORDER BY band, pix)) AS pixels",
+        "string_agg(format('{:02x}', v), '' ORDER BY band, pix) AS pixels_hex",
+    ).replace("       pixels\nFROM blobs", "       pixels_hex\nFROM blobs")

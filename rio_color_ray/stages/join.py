@@ -40,10 +40,21 @@ class BroadcastJoinStage:
 
 
 def broadcast_semi_filter(ds, keys, key_col):
-    """Semi-join filter: keep rows whose key is in the broadcast key set."""
-    keys = np.asarray(sorted(keys))
+    """Semi-join filter: keep rows whose key is in the broadcast key set.
+
+    The key array ships ONCE via ``ray.put`` (object store, zero-copy
+    numpy reads per worker) — not re-pickled into every task's closure;
+    the per-worker resolve is memoized in the process state cache.
+    """
+    import ray
+
+    from .statecache import process_cached
+
+    ref = ray.put(np.asarray(sorted(keys)))
 
     def fn(batch: pa.Table) -> pa.Table:
+        keys = process_cached(("semi_keys", ref.hex()), lambda: ray.get(ref),
+                              group="broadcast_semi_filter")
         vals = batch.column(key_col).to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, vals)
         pos = np.clip(pos, 0, len(keys) - 1)

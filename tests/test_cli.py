@@ -158,3 +158,41 @@ def test_resume_cli_roundtrip(ray_session, tmp_path):
     assert json.loads(r.output.strip().splitlines()[-1])["written_now"] == 2
     r = runner.invoke(engine, ["resume", "/root/testdata/sf0.001", out, "--n-parts", "4"])
     assert json.loads(r.output.strip().splitlines()[-1])["completed_before"] == 2
+
+
+def test_creation_opts(ray_session, tiles_paths, tmp_path):
+    """--co NAME=VALUE passthrough (reference tests/test_cli.py:121-169,
+    compress=jpeg analog): the requested codec must land in the written
+    Parquet file metadata, for both color and atmos."""
+    import glob
+
+    runner = CliRunner()
+    out = str(tmp_path / "co_color")
+    r = runner.invoke(
+        engine,
+        ["color", "--co", "compression=zstd", tiles_paths["rgb8"], out, "gamma rgb 1.1"],
+    )
+    assert r.exit_code == 0, r.output
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"
+
+    out2 = str(tmp_path / "co_atmos")
+    r = runner.invoke(
+        engine,
+        ["atmos", "--co", "compression=gzip", "-a", "0.03", "-b", "0.5", "-c", "15",
+         "-j", "1", tiles_paths["rgb8"], out2],
+    )
+    assert r.exit_code == 0, r.output
+    files2 = glob.glob(os.path.join(out2, "*.parquet"))
+    md2 = pq.ParquetFile(files2[0]).metadata
+    assert md2.row_group(0).column(0).compression == "GZIP"
+
+    # malformed pair -> usage error, nothing written
+    out3 = str(tmp_path / "co_bad")
+    r = runner.invoke(
+        engine, ["color", "--co", "compressionzstd", tiles_paths["rgb8"], out3, "gamma rgb 1.1"]
+    )
+    assert r.exit_code == 2
+    assert not os.path.exists(out3)
