@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": corpus.embedding_near_dup,
         # multimodal
         "media_features": corpus.media_features,
+        "media_resize": corpus.media_resize,
+        "audio_frames": corpus.audio_frames,
+        "video_frames": corpus.video_frames,
     }
 
 
@@ -95,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from rio_color_ray.stages.cellify import grid_cell_sql
     from rio_color_ray.pipelines.tiles import render_tiles_content_sql
+    from rio_color_ray.pipelines.corpus import audio_frames_sql, video_frames_sql
     from rio_color_ray.spatial.hexgrid import hex_cell_sql
     from rio_color_ray.spatial.s2 import s2_cell_sql
     from rio_color_ray.stages.cellify import S2_LEVEL
@@ -200,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": QUALITY_SQL,
         "lang_id": lang_id_sql(),
         "fingerprints": fingerprint_sql(),
+        "audio_frames": audio_frames_sql(),
+        "video_frames": video_frames_sql(),
         "near_dup_minhash": near_dup_minhash_sql(),
         "near_dup_jaccard": near_dup_jaccard_sql(),
         "near_dup_simhash": near_dup_simhash_sql(),

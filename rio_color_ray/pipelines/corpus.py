@@ -350,16 +350,9 @@ def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tab
 # --- multimodal -------------------------------------------------------------
 
 
-def media_features(sf_dir, concurrency=2):
-    """Opaque-binary media pipeline: decode (deterministic fake codec) ->
-    per-image features. Payloads derive from document text bytes, so the
-    table is deterministic without external data; the actor-pool stage
-    shape (small batch_size for large binary rows, per-actor init) is the
-    real 100 TB plumbing (stages/multimodal.py). Rows-only check: the
-    SHA-keystream fake decode has no ANSI-SQL form."""
-    from ..stages.multimodal import DecodeImageStage
-
-    docs = documents(sf_dir)
+def _media(sf_dir):
+    """The opaque-media table (media_id, payload): payloads derive from
+    document text bytes, deterministic without external data."""
 
     def to_media(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -371,9 +364,135 @@ def media_features(sf_dir, concurrency=2):
             }
         )
 
-    media = docs.map_batches(to_media, batch_format="pyarrow")
-    return media.map_batches(
+    return documents(sf_dir).map_batches(to_media, batch_format="pyarrow")
+
+
+def media_features(sf_dir, concurrency=2):
+    """Opaque-binary media pipeline: decode (deterministic fake codec) ->
+    per-image features. The actor-pool stage shape (small batch_size for
+    large binary rows, per-actor init) is the real 100 TB plumbing
+    (stages/multimodal.py). Rows-only check: the SHA-keystream fake
+    decode has no ANSI-SQL form."""
+    from ..stages.multimodal import DecodeImageStage
+
+    return _media(sf_dir).map_batches(
         make_stage_fn(DecodeImageStage),
         batch_format="pyarrow",
         batch_size=32,  # large binary rows: keep batch x concurrency in heap
     ).select_columns(["media_id", "height", "width", "mean_r", "mean_g", "mean_b"])
+
+
+def media_resize(sf_dir, out_size=(8, 8), concurrency=2):
+    """decode -> nearest-neighbor resize, fused (stages/multimodal.py).
+
+    The resize math is real (pure numpy gather over the decoded buffer);
+    rows-only check because the upstream fake decode has no SQL form.
+    Returns (media_id, height, width, n_bytes) — binary stays in the
+    cluster."""
+    from ..stages.multimodal import DecodeImageStage, ResizeImageStage
+
+    decoded = _media(sf_dir).map_batches(
+        make_stage_fn(DecodeImageStage), batch_format="pyarrow", batch_size=32
+    )
+    resized = decoded.map_batches(
+        make_stage_fn(ResizeImageStage, out_size), batch_format="pyarrow", batch_size=32
+    )
+
+    def meta(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "height": batch.column("height"),
+                "width": batch.column("width"),
+                "n_bytes": pc.cast(
+                    pc.binary_length(batch.column("pixels")), pa.int64()
+                ),
+            }
+        )
+
+    return resized.map_batches(meta, batch_format="pyarrow")
+
+
+AUDIO_FRAME_LEN = 256
+VIDEO_FRAME_BYTES = 64
+VIDEO_STRIDE = 4
+
+
+def audio_frames(sf_dir, concurrency=2):
+    """Fixed-rate audio frame energies over the opaque media column.
+
+    The int8-PCM fake decode is exactly SQL-expressible (hex-parse of the
+    UTF-8 payload), so this pipeline has a value-exact DuckDB oracle."""
+    from ..stages.multimodal import AudioFrameStage
+
+    return _media(sf_dir).map_batches(
+        make_stage_fn(AudioFrameStage, AUDIO_FRAME_LEN),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+
+
+def video_frames(sf_dir, concurrency=2):
+    """Every VIDEO_STRIDE-th frame of the fake-container video column;
+    the query projects the exact integer metrics (frame bytes stay in
+    the cluster — the driver comparator can't hash binary cells)."""
+    from ..stages.multimodal import VideoFrameSampleStage
+
+    frames = _media(sf_dir).map_batches(
+        make_stage_fn(VideoFrameSampleStage, VIDEO_FRAME_BYTES, VIDEO_STRIDE),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    return frames.select_columns(["media_id", "frame", "sum_luma"])
+
+
+def _hex_byte_sql(pos):
+    """SQL: unsigned value of byte ``pos`` (0-based) of hex string hx."""
+    d = "(strpos('0123456789ABCDEF', substr(hx, {p}, 1)) - 1)"
+    return f"(16 * {d.format(p=f'2*{pos}+1')} + {d.format(p=f'2*{pos}+2')})"
+
+
+def audio_frames_sql(frame_len=AUDIO_FRAME_LEN):
+    """DuckDB twin of :func:`audio_frames`: UTF-8 payload bytes as signed
+    int8 PCM, per-frame energy; frames truncate to len//L full frames
+    except docs shorter than one frame keep a single partial frame."""
+    v = _hex_byte_sql("i")
+    return f"""
+WITH hx AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS len FROM documents
+),
+b AS (
+  SELECT media_id, i.i AS i, len,
+         {v} AS u
+  FROM hx CROSS JOIN (SELECT unnest(range(0, (SELECT max(len) FROM hx))) AS i) i
+  WHERE i.i < len AND i.i < greatest(len // {frame_len}, 1) * {frame_len}
+)
+SELECT media_id, CAST(i // {frame_len} AS BIGINT) AS frame,
+       CAST(sum((u - CASE WHEN u > 127 THEN 256 ELSE 0 END)
+              * (u - CASE WHEN u > 127 THEN 256 ELSE 0 END)) AS BIGINT) AS energy
+FROM b GROUP BY 1, 2
+"""
+
+
+def video_frames_sql(frame_bytes=VIDEO_FRAME_BYTES, stride=VIDEO_STRIDE):
+    """DuckDB twin of :func:`video_frames`: full frames only, every
+    ``stride``-th, unsigned luma sum."""
+    v = _hex_byte_sql("i")
+    return f"""
+WITH hx AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS len FROM documents
+),
+b AS (
+  SELECT media_id, i.i AS i, {v} AS u
+  FROM hx CROSS JOIN (SELECT unnest(range(0, (SELECT max(len) FROM hx))) AS i) i
+  WHERE i.i < (len // {frame_bytes}) * {frame_bytes}
+    AND (i.i // {frame_bytes}) % {stride} = 0
+)
+SELECT media_id, CAST(i // {frame_bytes} AS BIGINT) AS frame,
+       CAST(sum(u) AS BIGINT) AS sum_luma
+FROM b GROUP BY 1, 2
+"""

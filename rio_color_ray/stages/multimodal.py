@@ -83,22 +83,125 @@ class AudioFrameStage:
             raise NotImplementedError(
                 "real audio decode requires soundfile/ffmpeg — absent here"
             )
-        ids, frame_idx, energy = [], [], []
-        for mid, payload in zip(
-            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
-        ):
-            pcm = np.frombuffer(payload, dtype=np.int8).astype(np.int64)
-            n_frames = max(1, len(pcm) // self.frame_len)
-            for f in range(n_frames):
-                seg = pcm[f * self.frame_len : (f + 1) * self.frame_len]
-                ids.append(mid)
-                frame_idx.append(f)
-                energy.append(int((seg * seg).sum()))
+        L = self.frame_len
+        ids = np.asarray(batch.column("media_id").to_pylist())
+        payloads = batch.column("payload").to_pylist()
+        if not payloads:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "frame": pa.array([], pa.int64()),
+                    "energy": pa.array([], pa.int64()),
+                }
+            )
+        # one concatenated PCM buffer + a cumulative sum of squares: each
+        # frame's energy is cs[end] - cs[start] — no per-frame Python.
+        lens = np.asarray([len(p) for p in payloads], dtype=np.int64)
+        pcm = np.frombuffer(b"".join(payloads), dtype=np.int8).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(pcm * pcm)))
+        n_frames = np.maximum(1, lens // L)
+        doc_start = np.cumsum(lens) - lens
+        fidx = np.arange(int(n_frames.sum())) - np.repeat(
+            np.cumsum(n_frames) - n_frames, n_frames
+        )
+        starts = np.repeat(doc_start, n_frames) + fidx * L
+        ends = np.minimum(starts + L, np.repeat(doc_start + lens, n_frames))
         return pa.table(
             {
-                "media_id": pa.array(ids),
-                "frame": pa.array(frame_idx, pa.int64()),
-                "energy": pa.array(energy, pa.int64()),
+                "media_id": pa.array(np.repeat(ids, n_frames)),
+                "frame": pa.array(fidx, pa.int64()),
+                "energy": pa.array(cs[ends] - cs[starts], pa.int64()),
+            }
+        )
+
+
+class ResizeImageStage:
+    """Nearest-neighbor resize of decoded (h, w, 3) uint8 pixel buffers.
+
+    REAL math (no codec involved): rows arrive as the DecodeImageStage
+    layout (media_id, height, width, pixels); each distinct input size in
+    the batch is resampled in one vectorized gather. The 100 TB shape:
+    stateless, fuses with the decode stage, output rows are
+    out_h*out_w*3 bytes regardless of input size.
+    """
+
+    def __init__(self, out_size=(8, 8)):
+        self.out_size = out_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        oh, ow = self.out_size
+        hs = np.asarray(batch.column("height").to_pylist(), dtype=np.int64)
+        ws = np.asarray(batch.column("width").to_pylist(), dtype=np.int64)
+        payloads = batch.column("pixels").to_pylist()
+        out = np.empty((len(payloads), oh, ow, 3), dtype=np.uint8)
+        for h, w in set(zip(hs.tolist(), ws.tolist())):
+            sel = np.flatnonzero((hs == h) & (ws == w))
+            block = np.frombuffer(
+                b"".join(payloads[i] for i in sel), dtype=np.uint8
+            ).reshape(len(sel), h, w, 3)
+            ri = (np.arange(oh) * h) // oh
+            ci = (np.arange(ow) * w) // ow
+            out[sel] = block[:, ri][:, :, ci]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "height": pa.array(np.full(len(payloads), oh, dtype=np.int32)),
+                "width": pa.array(np.full(len(payloads), ow, dtype=np.int32)),
+                "pixels": pa.array([o.tobytes() for o in out], pa.binary()),
+            }
+        )
+
+
+class VideoFrameSampleStage:
+    """Sample every ``stride``-th frame from an opaque video column.
+
+    Fake container (documented): the payload is a plain concatenation of
+    ``frame_bytes``-byte frames; only FULL frames exist (a tail shorter
+    than frame_bytes is container padding and ignored — docs shorter than
+    one frame yield zero rows). Real demuxing (fake=False) raises
+    NotImplementedError (no ffmpeg here). Emits the sampled frame bytes
+    plus an exact integer luma sum — the metric the SQL twin verifies.
+    """
+
+    def __init__(self, frame_bytes=64, stride=4, fake=True):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("real video demux requires ffmpeg — absent here")
+        F, S = self.frame_bytes, self.stride
+        ids = np.asarray(batch.column("media_id").to_pylist())
+        payloads = batch.column("payload").to_pylist()
+        lens = np.asarray([len(p) for p in payloads], dtype=np.int64)
+        n_frames = lens // F
+        n_sampled = (n_frames + S - 1) // S  # frames 0, S, 2S, ...
+        total = int(n_sampled.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "frame": pa.array([], pa.int64()),
+                    "sum_luma": pa.array([], pa.int64()),
+                    "frame_payload": pa.array([], pa.binary()),
+                }
+            )
+        buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(buf)))
+        doc_start = np.cumsum(lens) - lens
+        sidx = np.arange(total) - np.repeat(np.cumsum(n_sampled) - n_sampled, n_sampled)
+        fidx = sidx * S
+        starts = np.repeat(doc_start, n_sampled) + fidx * F
+        raw = b"".join(payloads)
+        return pa.table(
+            {
+                "media_id": pa.array(np.repeat(ids, n_sampled)),
+                "frame": pa.array(fidx, pa.int64()),
+                "sum_luma": pa.array(cs[starts + F] - cs[starts], pa.int64()),
+                "frame_payload": pa.array(
+                    [raw[s : s + F] for s in starts.tolist()], pa.binary()
+                ),
             }
         )
 

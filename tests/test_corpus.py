@@ -349,3 +349,69 @@ def test_shingle_hash_arrays_matches_naive(ray_session):
         ]
         got = grams[starts[i] : starts[i] + gcounts[i]].tolist()
         assert got == [int(e) for e in exp], t
+
+
+# --- multimodal stages -------------------------------------------------------
+
+
+def test_audio_frame_stage_matches_naive(ray_session):
+    """Vectorized frame energies must equal the per-frame definition:
+    full frames of L samples, remainder truncated, short docs keep one
+    partial frame, empty docs energy 0."""
+    from rio_color_ray.stages.multimodal import AudioFrameStage
+
+    payloads = [bytes(range(256)) * 3 + b"xy", b"ab", b"", bytes(600)]
+    t = pa.table(
+        {"media_id": pa.array(list(range(4)), pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+    out = AudioFrameStage(frame_len=256)(t).to_pydict()
+    exp = []
+    for mid, p in enumerate(payloads):
+        pcm = np.frombuffer(p, dtype=np.int8).astype(np.int64)
+        nf = max(1, len(pcm) // 256)
+        for f in range(nf):
+            seg = pcm[f * 256 : (f + 1) * 256]
+            exp.append((mid, f, int((seg * seg).sum())))
+    got = list(zip(out["media_id"], out["frame"], out["energy"]))
+    assert sorted(got) == sorted(exp)
+
+
+def test_resize_stage_matches_naive(ray_session):
+    from rio_color_ray.stages.multimodal import ResizeImageStage
+
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+            rng.integers(0, 256, (12, 20, 3), dtype=np.uint8)]
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "height": pa.array([16, 12], pa.int32()),
+            "width": pa.array([16, 20], pa.int32()),
+            "pixels": pa.array([i.tobytes() for i in imgs], pa.binary()),
+        }
+    )
+    out = ResizeImageStage(out_size=(8, 8))(t)
+    for row, img in enumerate(imgs):
+        h, w = img.shape[:2]
+        ri = (np.arange(8) * h) // 8
+        ci = (np.arange(8) * w) // 8
+        exp = img[ri][:, ci]
+        got = np.frombuffer(out.column("pixels")[row].as_py(), np.uint8).reshape(8, 8, 3)
+        assert (got == exp).all()
+
+
+def test_video_frame_sample_semantics(ray_session):
+    from rio_color_ray.stages.multimodal import VideoFrameSampleStage
+
+    p0 = bytes(range(64)) * 9 + b"tail"   # 9 full frames + padding
+    p1 = bytes(40)                          # shorter than one frame -> 0 rows
+    t = pa.table(
+        {"media_id": pa.array([0, 1], pa.int64()),
+         "payload": pa.array([p0, p1], pa.binary())}
+    )
+    out = VideoFrameSampleStage(frame_bytes=64, stride=4)(t).to_pydict()
+    assert out["media_id"] == [0, 0, 0]
+    assert out["frame"] == [0, 4, 8]
+    assert all(len(fp) == 64 for fp in out["frame_payload"])
+    assert out["sum_luma"] == [sum(range(64))] * 3
