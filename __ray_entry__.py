@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "events_daily": relational.events_daily,
         "events_sliding_window": relational.events_sliding_window,
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_jaccard": corpus.near_dup_pairs_jaccard,
         # similarity search
         "ann_topk": corpus.ann_topk,
+        "ann_topk_ivf": corpus.ann_topk_ivf,
         "embedding_near_dup": corpus.embedding_near_dup,
         # multimodal
         "media_features": corpus.media_features,
@@ -134,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.Q1_SQL,
         "q3_top_orders": R.Q3_SQL,
         "q5_nation_revenue": R.Q5_SQL,
+        "q6_forecast_revenue": R.Q6_SQL,
         "q14_promo_revenue": R.Q14_SQL,
         "events_daily": R.EVENTS_DAILY_SQL,
         "events_sliding_window": R.SLIDING_SQL,

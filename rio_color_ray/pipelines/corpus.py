@@ -268,6 +268,36 @@ def ann_topk(sf_dir, k=10, n_queries=8, concurrency=4):
     )
 
 
+def ann_topk_ivf(sf_dir, k=10, n_queries=8, n_cells=16, n_probe=6, sample_n=512,
+                 concurrency=4):
+    """IVF-bucketed ANN top-k — the scale path beside the brute oracle.
+
+    Coarse centroids train on a driver-side sample (seeded k-means,
+    stages/ann.py); each batch scores only the queries probing its
+    vectors' cells, so per-query work is ~n_probe/n_cells of the table
+    instead of all of it. Approximate by construction (rows-only check);
+    tests assert recall@k >= 0.9 against the exact brute path.
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import AnnIVFStage, train_ivf_centroids
+
+    qid, qmat = _query_vectors(sf_dir, n_queries)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_t = next(pf.iter_batches(batch_size=sample_n, columns=["embedding"]))
+    sample = np.stack(sample_t.column("embedding").to_pylist())
+    cent = train_ivf_centroids(sample, n_cells)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    partial = ds.map_batches(
+        make_stage_fn(AnnIVFStage, qid, qmat, cent, n_probe, k),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: ann_topk_reduce(g, k), batch_format="pandas"
+    )
+
+
 VEC_REP_STRIDE = 10_000_000
 _JITTER_SCALE = 0.02  # replica cosine vs original ~0.9996 >> 0.95 threshold
 

@@ -547,3 +547,58 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM numbered GROUP BY user_id, session_id
 """
+
+
+Q6_YEAR = "1996"  # inside the synthetic shipdate range (1995-2001)
+
+
+def q6_forecast_revenue(sf_dir):
+    """TPC-H Q6 analog: discounted-revenue filter-sum, exact micros.
+
+    Pure read -> filter -> partial-sum map_batches -> one-row reduce; the
+    only exchange moves one partial row per block. Float filter literals
+    compare against the same stored doubles DuckDB sees, so row
+    selection is bit-identical.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64(f"{Q6_YEAR}-01-01", "us")
+    hi = np.datetime64(f"{int(Q6_YEAR) + 1}-01-01", "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        mask = (
+            (ship >= lo) & (ship < hi)
+            & (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        )
+        price_c = _int_cents(batch.column("l_extendedprice"))[mask]
+        disc_bp = np.rint(disc[mask] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "__k": pa.array([0], pa.int64()),
+                "revenue_micros": pa.array([int((price_c * disc_bp).sum())], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k")
+        .aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
+        .drop_columns(["__k"])
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_micros
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{int(Q6_YEAR) + 1}-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""

@@ -75,3 +75,78 @@ def ann_topk_reduce(group: pd.DataFrame, k: int) -> pd.DataFrame:
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         }
     )
+
+
+def train_ivf_centroids(sample, n_cells, iters=5, seed=2024):
+    """Deterministic spherical k-means on a driver-side SAMPLE.
+
+    IVF coarse quantizers are trained on a small sample by design (the
+    100 TB table itself never reaches the driver); seeded init + fixed
+    Lloyd iterations make the cell layout reproducible. Returns
+    (n_cells, dim) L2-normalized centroids.
+    """
+    s = np.asarray(sample, dtype=np.float64)
+    s = s / np.linalg.norm(s, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = s[rng.choice(len(s), size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ cent.T, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = s[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class AnnIVFStage:
+    """IVF probe stage: per batch, assign vectors to their coarse cell
+    and score ONLY the queries probing that cell — the scale path that
+    touches a fraction of the table per query instead of all of it.
+
+    Broadcast state: centroids + per-query probe lists (tiny). Emits the
+    same (query_id, vec_id, score_r6) partials as AnnBruteStage, so the
+    exact per-query reduce is shared.
+    """
+
+    def __init__(self, query_ids, query_matrix, centroids, n_probe, k,
+                 id_col="vec_id", vec_col="embedding"):
+        self.qid = np.asarray(query_ids, dtype=np.int64)
+        q = np.asarray(query_matrix, dtype=np.float64)
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.cent = np.asarray(centroids, dtype=np.float64)
+        # probe set per query: the n_probe nearest centroids
+        order = np.argsort(-(self.q @ self.cent.T), axis=1, kind="stable")
+        self.probes = order[:, :n_probe]  # (queries, n_probe)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cell = np.argmax(vecs @ self.cent.T, axis=1)  # (batch,)
+        # query q scores row r iff cell[r] in probes[q]
+        probe_mask = (self.probes[:, :, None] == cell[None, None, :]).any(axis=1)
+        scores = vecs @ self.q.T  # (batch, queries)
+        scores[~probe_mask.T] = -np.inf
+        for row, i in enumerate(ids):  # self-exclusion
+            hit = np.nonzero(self.qid == i)[0]
+            if len(hit):
+                scores[row, hit] = -np.inf
+        k = min(self.k, scores.shape[0])
+        idx = np.argpartition(-scores, k - 1, axis=0)[:k]
+        qcols = np.broadcast_to(np.arange(scores.shape[1]), idx.shape)
+        flat_i, flat_q = idx.ravel(), qcols.ravel()
+        keep = np.isfinite(scores[flat_i, flat_q])
+        flat_i, flat_q = flat_i[keep], flat_q[keep]
+        return pa.table(
+            {
+                "query_id": pa.array(self.qid[flat_q], pa.int64()),
+                "vec_id": pa.array(ids[flat_i].astype(np.int64), pa.int64()),
+                "score_r6": pa.array(np.round(scores[flat_i, flat_q], 6), pa.float64()),
+            }
+        )

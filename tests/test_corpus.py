@@ -415,3 +415,29 @@ def test_video_frame_sample_semantics(ray_session):
     assert out["frame"] == [0, 4, 8]
     assert all(len(fp) == 64 for fp in out["frame_payload"])
     assert out["sum_luma"] == [sum(range(64))] * 3
+
+
+def test_ann_ivf_recall_vs_brute(ray_session):
+    """IVF machinery check: probing EVERY cell must reproduce the exact
+    brute top-k (same scores, same tie-breaks); partial probing must
+    still reach >=0.9 recall at n_probe=12/16. (The synthetic embeddings
+    are uniform on the sphere — IVF's worst case; clustered real data
+    reaches high recall at much smaller probe fractions.)"""
+    import pandas as pd
+
+    from rio_color_ray.pipelines.corpus import ann_topk, ann_topk_ivf
+
+    exact = (
+        ann_topk(SF, k=10, n_queries=8)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    full = (
+        ann_topk_ivf(SF, k=10, n_queries=8, n_cells=16, n_probe=16)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, exact)
+
+    approx = ann_topk_ivf(SF, k=10, n_queries=8, n_probe=12).to_pandas()
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(e & a) / len(e) >= 0.9, (len(e & a), len(e))
