@@ -382,17 +382,26 @@ def q14_promo_revenue(sf_dir):
     """
     import pyarrow.parquet as pq
 
+    import ray
+
+    from ..stages.statecache import process_cached
+
     part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
     pk = part.column("p_partkey").to_numpy()
     promo = pc.starts_with(part.column("p_type"), "PROMO").to_numpy(zero_copy_only=False)
     lookup = np.zeros(int(pk.max()) + 1, dtype=np.int8)
     lookup[pk] = promo.astype(np.int8)
+    # the dense partkey lookup is part-table-sized: ship once via object
+    # store (zero-copy numpy read per worker), not per-task pickles
+    ref = ray.put(lookup)
 
     ds = _read(
         sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        lookup = process_cached(("q14_lookup", ref.hex()), lambda: ray.get(ref),
+                                group="q14_promo_lookup")
         price_c = _int_cents(batch.column("l_extendedprice"))
         disc_pct = np.rint(
             batch.column("l_discount").to_numpy(zero_copy_only=False) * 100

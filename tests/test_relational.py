@@ -220,3 +220,26 @@ def test_q3_builtin_join_matches_bucketed(ray_session, con):
     a = R.q3_top_orders(SF).to_pandas().reset_index(drop=True)
     b = R.q3_top_orders(SF, builtin_join=True).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_statecache_group_lru_bounded(ray_session):
+    """Repeated pipeline builds must not grow worker state without bound:
+    the per-class LRU keeps at most 4 live stage instances."""
+    from rio_color_ray.stages import statecache as sc
+
+    class Dummy:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def __call__(self, batch):
+            return batch
+
+    built = []
+    for i in range(10):
+        key = f"Dummy-{i}"
+        sc.process_cached(key, lambda i=i: built.append(i) or Dummy(i), group="Dummy")
+    assert len(built) == 10
+    live = [k for k in sc._PROCESS_CACHE if str(k).startswith("Dummy-")]
+    assert len(live) == sc._GROUP_CAP
+    # most-recent entries survive
+    assert set(live) == {f"Dummy-{i}" for i in range(6, 10)}
