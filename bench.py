@@ -124,11 +124,15 @@ def run_scaling_child(num_cpus, n_runs=4):
     flagship(SF_DIR, replicate=2, z=SCALING_ZOOM).count()  # warm, untimed
     times = []
     n_tiles = 0
-    for _ in range(n_runs):  # median damps scheduler/GC noise (sec_8 is bimodal)
+    for _ in range(n_runs):
         t0 = time.time()
         n_tiles = flagship(SF_DIR, replicate=SCALING_REPLICATE, z=SCALING_ZOOM).count()
         times.append(time.time() - t0)
-    dt = statistics.median(times)
+    # ambient-noise model: interference from the box (another tenant, a
+    # preceding session's teardown) is strictly ADDITIVE, so min-of-N
+    # estimates true capability; runs measured 20-53s for identical code
+    # depending on ambient load. Median and raw runs are reported too.
+    dt = min(times)
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
@@ -138,6 +142,7 @@ def run_scaling_child(num_cpus, n_runs=4):
             {
                 "num_cpus": num_cpus,
                 "sec": round(dt, 3),
+                "sec_median": round(statistics.median(times), 3),
                 "all_runs_sec": [round(t, 3) for t in times],
                 "n_pages": n_pages,
                 "n_tiles": int(n_tiles),

@@ -186,11 +186,13 @@ def atmos(atmo, contrast, bias, out_dtype, as_color, src_path, dst_path, jobs, c
 @click.option("--replicate", type=int, default=1)
 @click.option("--zoom", "-z", type=int, default=None)
 @click.option("--ops", type=str, default=None)
-def flagship_cmd(sf_dir, dst_path, replicate, zoom, ops):
+@co_opt
+def flagship_cmd(sf_dir, dst_path, replicate, zoom, ops, creation_options):
     """pages -> geocode -> cellify -> PIP join -> tiles -> color -> Parquet."""
     from .pipelines.flagship import flagship
     from .pipelines.tiles import DEFAULT_OPS, DEFAULT_ZOOM
 
+    co = parse_creation_options(creation_options)
     _ensure_ray()
     ds = flagship(
         sf_dir,
@@ -198,7 +200,7 @@ def flagship_cmd(sf_dir, dst_path, replicate, zoom, ops):
         ops=ops or DEFAULT_OPS,
         z=DEFAULT_ZOOM if zoom is None else zoom,
     )
-    ds.write_parquet(dst_path)
+    ds.write_parquet(dst_path, **co)
     click.echo(f"wrote {dst_path}")
 
 

@@ -247,13 +247,19 @@ def near_dup_pairs_simhash(sf_dir, replicate=2, max_hamming=3):
 
 
 def _query_vectors(sf_dir, n_queries):
+    """Driver-side query set: row-filter pushed into the Parquet read so
+    only the n_queries rows (not the 100 TB table) reach the driver."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    )
     vid = t.column("vec_id").to_numpy()
-    sel = vid < n_queries
-    mat = np.stack(np.asarray(t.column("embedding").to_pylist(), dtype=object)[sel])
-    return vid[sel], mat.astype(np.float64)
+    order = np.argsort(vid)
+    mat = np.stack(np.asarray(t.column("embedding").to_pylist(), dtype=object)[order])
+    return vid[order], mat.astype(np.float64)
 
 
 def ann_topk(sf_dir, k=10, n_queries=8, concurrency=4):
