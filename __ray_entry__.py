@@ -40,6 +40,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "top_users_by_value": relational.top_users_by_value,
         "distinct_users_per_type": relational.distinct_users_per_type,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "asof_join_clicks": relational.asof_join_clicks,
+        "topk_orders_per_priority": relational.topk_orders_per_priority,
+        "value_quantiles_per_type": relational.value_quantiles_per_type,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -59,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_tiles": tiles.render_tiles,
         "render_tiles_content": tiles.render_tiles_content,
         "color_tiles": tiles.color_tiles,
+        "color_tiles_content": tiles.color_tiles_content,
         # text analysis
         "token_counts": corpus.token_counts,
         "quality_scores": corpus.quality_scores,
@@ -99,7 +105,10 @@ def oracle_sql() -> dict[str, str]:
         rects_sql_values,
     )
     from rio_color_ray.stages.cellify import grid_cell_sql
-    from rio_color_ray.pipelines.tiles import render_tiles_content_sql
+    from rio_color_ray.pipelines.tiles import (
+        color_tiles_content_sql,
+        render_tiles_content_sql,
+    )
     from rio_color_ray.pipelines.corpus import audio_frames_sql, video_frames_sql
     from rio_color_ray.spatial.hexgrid import hex_cell_sql
     from rio_color_ray.spatial.s2 import s2_cell_sql
@@ -143,6 +152,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": R.SESSIONIZE_SQL,
         "top_users_by_value": R.TOP_USERS_SQL,
         "distinct_users_per_type": R.DISTINCT_USERS_SQL,
+        "q10_returned_revenue": R.Q10_SQL,
+        "q18_large_orders": R.Q18_SQL,
+        "asof_join_clicks": R.ASOF_SQL,
+        "topk_orders_per_priority": R.TOPK_PRIORITY_SQL,
+        "value_quantiles_per_type": R.QUANTILES_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "
@@ -204,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "render_tiles_content": render_tiles_content_sql(),
+        "color_tiles_content": color_tiles_content_sql(),
         "quality_scores": QUALITY_SQL,
         "lang_id": lang_id_sql(),
         "fingerprints": fingerprint_sql(),

@@ -611,3 +611,351 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join (event-time point join), the classic operator Ray Data lacks.
+# ---------------------------------------------------------------------------
+
+def asof_join_clicks(sf_dir):
+    """For every purchase, the latest click by the same user at-or-before
+    the purchase (ordered by (ts, event_id) — fully deterministic ties).
+
+    Ray-Data-first shape: ONE shuffle on user_id (`groupby.map_groups`),
+    then a vectorized in-group as-of: sort the user's merged click+purchase
+    stream once, forward-fill the last-click index with
+    np.maximum.accumulate, gather. No pandas merge_asof per pair of
+    frames, no driver collection. At 10^12 rows the user_id shuffle is
+    the same exchange sessionize already pays; groups are per-user sized.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column("event_type"), value_set=pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        is_click = (g["event_type"] == "click").to_numpy()
+        # index of the most recent click at-or-before each position
+        idx = np.where(is_click, np.arange(len(g)), -1)
+        last_click = np.maximum.accumulate(idx)
+        is_purchase = ~is_click
+        take = is_purchase & (last_click >= 0)
+        src = last_click[take]
+        return pd.DataFrame(
+            {
+                "event_id": eid[take],
+                "user_id": g["user_id"].to_numpy()[take],
+                "purchase_ts": ts[take].astype("datetime64[us]"),
+                "click_event_id": eid[src],
+                "click_ts": ts[src].astype("datetime64[us]"),
+                "gap_us": ts[take] - ts[src],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+), filled AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      OVER w AS click_ts,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER w AS click_event_id
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts AS purchase_ts, click_event_id, click_ts,
+       epoch_us(ts) - epoch_us(click_ts) AS gap_us
+FROM filled WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (window-rank analog) — partial top-k per batch, then a
+# tiny per-group final reduce; the shuffle moves at most k rows per
+# (batch, group), never the full table.
+# ---------------------------------------------------------------------------
+
+def topk_orders_per_priority(sf_dir, k=3):
+    """Top-k orders by (o_totalprice, o_orderkey) within each priority."""
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["price_cents"] = np.rint(b.pop("o_totalprice").to_numpy() * 100).astype(
+            np.int64
+        )
+        b = b.sort_values(
+            ["o_orderpriority", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return b.groupby("o_orderpriority", as_index=False).head(k)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_orderpriority", "rank", "o_orderkey", "price_cents"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+TOPK_PRIORITY_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, price_cents FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog: groupby-having + semi-join back to the fact table.
+# ---------------------------------------------------------------------------
+
+Q18_MIN_QTY = 200
+
+
+def q18_large_orders(sf_dir, min_qty=Q18_MIN_QTY):
+    """Orders whose total lineitem quantity exceeds ``min_qty``.
+
+    Two-level aggregate (per-batch partial sums -> small groupby), the
+    HAVING filter applied post-aggregate, then the surviving keyset —
+    tiny by construction — broadcast back over orders as a semi-filter
+    and the customer dimension broadcast-merged. The only all-to-all
+    moves (l_orderkey, partial_qty) pairs.
+    """
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["sum_qty"] = np.rint(b.pop("l_quantity").to_numpy()).astype(np.int64)
+        return b.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+
+    per_order = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b.column("sum_qty"), min_qty)),
+            batch_format="pyarrow",
+        )
+    )
+    qty = {r["l_orderkey"]: r["sum_qty"] for r in per_order.take_all()}  # HAVING
+    # survivors: tiny (the tail of the qty distribution) -> broadcast
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    orders = broadcast_semi_filter(orders, set(qty), "o_orderkey")
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_of = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+    qty_ref, name_ref = ray.put(qty), ray.put(name_of)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        q, n = ray.get(qty_ref), ray.get(name_ref)
+        out = pd.DataFrame(
+            {
+                "c_name": batch["o_custkey"].map(n),
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"].astype("datetime64[us]"),
+                "price_cents": np.rint(batch["o_totalprice"].to_numpy() * 100).astype(np.int64),
+                "sum_qty": batch["o_orderkey"].map(q).astype(np.int64),
+            }
+        )
+        return out
+
+    return orders.map_batches(attach, batch_format="pandas")
+
+
+Q18_SQL = f"""
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+       lq.sum_qty
+FROM (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > {Q18_MIN_QTY}
+) lq
+JOIN orders o ON o.o_orderkey = lq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analog: returned-item revenue per customer, top 20.
+# ---------------------------------------------------------------------------
+
+Q10_QTR = ("1996-01-01", "1996-04-01")
+
+
+def q10_returned_revenue(sf_dir, k=20, n_buckets=16):
+    """Revenue lost to returns per customer for one order quarter.
+
+    orders (quarter filter pushed to the scan) |><| lineitem(R) through
+    the engine's bucketed hash join; per-customer partial sums before the
+    final small groupby; customer names broadcast-merged at the end.
+    """
+    lo = np.datetime64(Q10_QTR[0], "us")
+    hi = np.datetime64(Q10_QTR[1], "us")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), pa.scalar(lo)),
+                pc.less(b.column("o_orderdate"), pa.scalar(hi)),
+            )
+        ),
+        batch_format="pyarrow",
+    ).drop_columns(["o_orderdate"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def returned_revenue(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        price_c = _int_cents(batch.column("l_extendedprice"))
+        disc = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "revenue_micros": pa.array(price_c * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = li.map_batches(returned_revenue, batch_format="pyarrow")
+    joined = bucketed_hash_join(orders, li, "o_orderkey", n_buckets=n_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("o_custkey", as_index=False)["revenue_micros"].sum()
+
+    per_cust = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
+        .sort(["revenue_micros", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_of = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["c_name"] = batch["o_custkey"].map(name_of)
+        return batch[["o_custkey", "c_name", "revenue_micros"]]
+
+    return per_cust.map_batches(attach, batch_format="pandas")
+
+
+Q10_SQL = f"""
+SELECT o_custkey, c_name, revenue_micros FROM (
+  SELECT o.o_custkey, any_value(c.c_name) AS c_name,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_micros
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE o.o_orderdate >= TIMESTAMP '{Q10_QTR[0]} 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '{Q10_QTR[1]} 00:00:00'
+  GROUP BY o.o_custkey
+) ORDER BY revenue_micros DESC, o_custkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles (discrete) — two-level value-count reduce.
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def value_quantiles_per_type(sf_dir):
+    """Exact discrete quantiles of event value (cents) per event_type.
+
+    Scale shape: per-batch (type, cents) partial counts, a groupby on the
+    composite key (distinct cents per type is bounded by the price grid,
+    ~50k values, NOT by row count), then one tiny per-type reduce that
+    sorts the distinct values and indexes the cumulative counts. No full
+    sort of the data, no per-row shuffle — the exchange moves counts.
+    """
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "cents": np.rint(batch["value"].to_numpy() * 100).astype(np.int64),
+            }
+        )
+        out = b.groupby(["event_type", "cents"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def quantiles(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("cents", kind="mergesort")
+        cents = g["cents"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        total = cum[-1]
+        rows = {"event_type": [g["event_type"].iloc[0]]}
+        for q in QUANTILES:
+            # quantile_disc: smallest value with cum >= ceil(q * total)
+            target = int(np.ceil(q * total))
+            rows[f"p{int(q * 100)}_cents"] = [
+                int(cents[np.searchsorted(cum, target)])
+            ]
+        return pd.DataFrame(rows)
+
+    return counts.groupby("event_type").map_groups(quantiles, batch_format="pandas")
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(cents, 0.25) AS p25_cents,
+       quantile_disc(cents, 0.50) AS p50_cents,
+       quantile_disc(cents, 0.75) AS p75_cents,
+       quantile_disc(cents, 0.90) AS p90_cents
+FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+GROUP BY event_type
+"""

@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..ctx import shuffle_partitions
 from ..spatial import mercator_tile, tile_pixel
-from ..stages.color_stage import ColorStage
+from ..stages.color_stage import ColorStage, apply_ops_to_tiles
 from ..stages.statecache import make_stage_fn
 
 
@@ -283,3 +283,67 @@ def render_tiles_content_sql(z=DEFAULT_ZOOM):
         "unhex(string_agg(format('{:02x}', v), '' ORDER BY band, pix)) AS pixels",
         "string_agg(format('{:02x}', v), '' ORDER BY band, pix) AS pixels_hex",
     ).replace("       pixels\nFROM blobs", "       pixels_hex\nFROM blobs")
+
+
+BAND_UNIFORM_OPS = "gamma rgb 1.2, sigmoidal rgb 6 0.25"
+
+
+def band_uniform_lut(ops=BAND_UNIFORM_OPS):
+    """256-entry uint8 LUT for a band-uniform ops program.
+
+    Valid only for programs with no cross-band operator (gamma and
+    sigmoidal are strictly elementwise per band, operations.py; the
+    reference's saturation mixes bands and is excluded). Built by running
+    the engine's own scalar path over the 0..255 ramp — the scalar math
+    itself is verified against the reference's golden fixtures in
+    tests/test_color_operations.py; the SQL oracle built from this LUT
+    verifies the DISTRIBUTED tile pipeline routes every byte through it.
+    """
+    from ..color import parse_operations
+
+    ramp = np.arange(256, dtype=np.uint8).tobytes()
+    out = apply_ops_to_tiles(
+        [ramp * 3], 3, "uint8", 16, 16, parse_operations(ops), "uint8"
+    )[0]
+    return np.frombuffer(out, dtype=np.uint8)[:256]
+
+
+def color_tiles_content(sf_dir, z=DEFAULT_ZOOM):
+    """color_tiles with a band-uniform program, pixels hex-encoded.
+
+    The oracle-checkable twin of :func:`color_tiles`: same render +
+    color stages, ops restricted to the per-band subset so DuckDB can
+    reproduce the pixel bytes exactly via a 256-entry lookup.
+    """
+    ds = color_tiles(sf_dir, ops=BAND_UNIFORM_OPS, z=z)
+    ds = ds.drop_columns(["ops"])
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in batch.column_names:
+            if name == "pixels":
+                cols["pixels_hex"] = pa.array(
+                    [v.hex() for v in batch.column("pixels").to_pylist()], pa.string()
+                )
+            else:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    return ds.map_batches(to_hex, batch_format="pyarrow")
+
+
+def color_tiles_content_sql(z=DEFAULT_ZOOM):
+    """Oracle for color_tiles_content: render SQL + LUT join on v."""
+    lut = band_uniform_lut()
+    values = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(lut))
+    sql = render_tiles_content_sql(z)
+    return sql.replace(
+        "string_agg(format('{:02x}', v), '' ORDER BY band, pix) AS pixels_hex",
+        "string_agg(format('{:02x}', lut.v2), '' ORDER BY band, pix) AS pixels_hex",
+    ).replace(
+        "blobs AS (",
+        f"lut(v, v2) AS (VALUES {values}),\nblobs AS (",
+    ).replace(
+        "FROM bytes GROUP BY xt, yt",
+        "FROM bytes JOIN lut ON lut.v = bytes.v GROUP BY xt, yt",
+    )

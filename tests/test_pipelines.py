@@ -156,3 +156,32 @@ def test_actor_pool_and_task_pool_paths_identical(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_color_tiles_content_vs_sql_oracle(ray_session):
+    """The LUT-based DuckDB twin reproduces the colored pixel bytes."""
+    import duckdb
+
+    import pandas as pd
+    from rio_color_ray.pipelines.tiles import (
+        band_uniform_lut,
+        color_tiles_content,
+        color_tiles_content_sql,
+    )
+
+    lut = band_uniform_lut()
+    assert lut[0] == 0 and len(lut) == 256
+    assert (pd.Series(lut).diff().dropna() >= 0).all()  # monotone program
+
+    rdf = color_tiles_content("/root/testdata/sf0.001").to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    odf = con.sql(color_tiles_content_sql()).df()
+    cols = sorted(rdf.columns)
+    assert cols == sorted(odf.columns)
+    a = rdf[cols].sort_values(["tile_id"]).reset_index(drop=True)
+    b = odf[cols].sort_values(["tile_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)

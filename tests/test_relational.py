@@ -243,3 +243,44 @@ def test_statecache_group_lru_bounded(ray_session):
     assert len(live) == sc._GROUP_CAP
     # most-recent entries survive
     assert set(live) == {f"Dummy-{i}" for i in range(6, 10)}
+
+
+def test_asof_join_clicks(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.asof_join_clicks(SF), con, R.ASOF_SQL)
+    assert (out["gap_us"] >= 0).all()
+    assert out["event_id"].is_unique  # one match row per purchase
+
+
+def test_topk_orders_per_priority(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.topk_orders_per_priority(SF), con, R.TOPK_PRIORITY_SQL)
+    assert len(out) == 15  # 5 priorities x top-3
+    assert set(out["rank"]) == {1, 2, 3}
+
+
+def test_q18_large_orders(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.q18_large_orders(SF), con, R.Q18_SQL)
+    assert (out["sum_qty"] > R.Q18_MIN_QTY).all()
+    assert len(out) > 0
+
+
+def test_q10_returned_revenue(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.q10_returned_revenue(SF), con, R.Q10_SQL)
+    assert len(out) == 20
+    assert out["revenue_micros"].is_monotonic_decreasing
+
+
+def test_value_quantiles_per_type(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.value_quantiles_per_type(SF), con, R.QUANTILES_SQL)
+    assert len(out) == 5
+    q = out[["p25_cents", "p50_cents", "p75_cents", "p90_cents"]].to_numpy()
+    assert (np.diff(q, axis=1) >= 0).all()
