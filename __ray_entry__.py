@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from rio_color_ray.pipelines import corpus, geo, knn, relational, tiles
+    from rio_color_ray.pipelines import corpus, curate, geo, knn, relational, tiles
 
     return {
         # relational (TPC-H-ish + events)
@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_clicks": relational.asof_join_clicks,
         "topk_orders_per_priority": relational.topk_orders_per_priority,
         "value_quantiles_per_type": relational.value_quantiles_per_type,
+        "range_join_clicks": relational.range_join_clicks,
+        "customer_order_counts": relational.customer_order_counts,
+        "event_gaps": relational.event_gaps,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -85,10 +88,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": corpus.media_resize,
         "audio_frames": corpus.audio_frames,
         "video_frames": corpus.video_frames,
+        # corpus curation (deterministic sampling / mixing / vocab)
+        "train_test_split": curate.train_test_split,
+        "sample_stratified": curate.sample_stratified,
+        "curate_corpus": curate.curate_corpus,
+        "vocab_top_tokens": curate.vocab_top_tokens,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from rio_color_ray.pipelines import curate
     from rio_color_ray.pipelines import relational as R
     from rio_color_ray.pipelines.knn import knn_sql
     from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
@@ -157,6 +166,9 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_clicks": R.ASOF_SQL,
         "topk_orders_per_priority": R.TOPK_PRIORITY_SQL,
         "value_quantiles_per_type": R.QUANTILES_SQL,
+        "range_join_clicks": R.RANGE_JOIN_SQL,
+        "customer_order_counts": R.CUSTOMER_ORDER_COUNTS_SQL,
+        "event_gaps": R.EVENT_GAPS_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "
@@ -248,4 +260,8 @@ def oracle_sql() -> dict[str, str]:
             "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
             ") WHERE rank <= 10"
         ),
+        "train_test_split": curate.TRAIN_TEST_SPLIT_SQL,
+        "sample_stratified": curate.SAMPLE_STRATIFIED_SQL,
+        "curate_corpus": curate.curate_corpus_sql(),
+        "vocab_top_tokens": curate.vocab_top_tokens_sql(),
     }

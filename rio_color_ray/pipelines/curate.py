@@ -1,0 +1,226 @@
+"""Training-corpus curation pipelines: deterministic split/sampling,
+quality+dedup curation, vocabulary building.
+
+The composition a 100 TB pretraining-data run needs, expressed
+Ray-Data-first: every stage is a vectorized ``map_batches`` over Arrow,
+the only exchanges are (a) the dedup groupby on the 64-bit content hash
+(moves (hash, id, small-metadata) — never document bodies) and (b) the
+vocabulary count groupby (moves (token, partial_count) after per-batch
+pre-aggregation). Sampling decisions are pure functions of stable row
+ids (stages/sampling.py), so output is identical under resume,
+repartitioning, or a different cluster size — and every operator here
+has an exact DuckDB oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.sampling import (
+    split_assign_batch,
+    split_sql,
+    stratified_filter_batch,
+    stratified_filter_sql,
+)
+from ..stages.text import _ALPHA_RE, _TOKEN_RE
+
+
+def documents(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- train/valid/test split -------------------------------------------------
+
+
+def train_test_split(sf_dir):
+    """(doc_id, split) for every document — 98/1/1 by splitmix64(doc_id).
+
+    Stateless and shuffle-free: the assignment is a pure row function,
+    so adding machines or resuming mid-run cannot move a document
+    between splits (the property random_sample / random_shuffle-based
+    splitting lacks).
+    """
+    return documents(sf_dir).map_batches(
+        split_assign_batch("doc_id"), batch_format="pyarrow"
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = split_sql("doc_id", "documents")
+
+
+# --- stratified sampling ----------------------------------------------------
+
+# per-language keep rates (ppm): downsample the over-represented head,
+# keep the tail whole — the classic data-mixing move
+STRATA_RATES_PPM = {"en": 500_000, "de": 800_000, "fr": 800_000}
+STRATA_DEFAULT_PPM = 1_000_000
+
+
+def sample_stratified(sf_dir):
+    """Deterministic per-language downsampling of the documents table."""
+    ds = documents(sf_dir).select_columns(["doc_id", "lang"])
+    return ds.map_batches(
+        stratified_filter_batch(
+            STRATA_RATES_PPM, "lang", "doc_id", STRATA_DEFAULT_PPM
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SAMPLE_STRATIFIED_SQL = (
+    "SELECT doc_id, lang FROM documents WHERE "
+    + stratified_filter_sql(STRATA_RATES_PPM, "lang", "doc_id", STRATA_DEFAULT_PPM)
+)
+
+
+# --- end-to-end curation ----------------------------------------------------
+
+CURATE_MIN_QUALITY_PPM = 550_000
+
+
+def curate_corpus(sf_dir, min_quality_ppm=CURATE_MIN_QUALITY_PPM):
+    """Quality-filter -> exact-dedup -> stratified-sample -> split.
+
+    The full curation funnel over the documents table, ending in the
+    rows a tokenizer run would consume: (doc_id, lang, n_tokens,
+    quality_ppm, split).
+
+    Scale shape: the quality filter runs BEFORE the dedup exchange, so
+    rejected documents never shuffle; the dedup groupby keys on the
+    64-bit content hash and carries only (hash, doc_id, lang, n_tokens,
+    quality_ppm) — text stays in the scan stage. Stratified sampling and
+    split assignment are stateless row functions after the exchange.
+    Hash-collision note as stages/dedup.py: ~0.03 expected collisions at
+    10^12 docs; exact at test scale (the oracle groups by full text).
+    """
+
+    def metrics_and_filter(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        n_alpha = pc.cast(
+            pc.count_substring_regex(text, _ALPHA_RE), pa.int64()
+        ).to_numpy()
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, _TOKEN_RE), pa.int64()
+        ).to_numpy()
+        alpha_ppm = n_alpha * 1_000_000 // np.maximum(n_chars, 1)
+        quality_ppm = (alpha_ppm + np.minimum(n_tokens, 200) * 5000) // 2
+        h = pd.util.hash_array(
+            np.asarray(text.to_pylist(), dtype=object)
+        ).astype(np.int64)
+        out = pa.table(
+            {
+                "h64": pa.array(h, pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "quality_ppm": pa.array(quality_ppm, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(quality_ppm >= min_quality_ppm))
+
+    filtered = documents(sf_dir).map_batches(metrics_and_filter, batch_format="pyarrow")
+
+    # dedup: min doc_id per content hash, metadata riding along. Partial
+    # min inside each batch first — the exchange then moves at most one
+    # row per (batch, hash).
+    def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch.groupby("h64")["doc_id"].idxmin()]
+
+    def group_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.loc[[group["doc_id"].idxmin()]]
+
+    deduped = (
+        filtered.map_batches(partial_min, batch_format="pandas")
+        .groupby("h64")
+        .map_groups(group_min, batch_format="pandas")
+        .drop_columns(["h64"])
+    )
+
+    sampled = deduped.map_batches(
+        stratified_filter_batch(
+            STRATA_RATES_PPM, "lang", "doc_id", STRATA_DEFAULT_PPM
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach_split(batch: pa.Table) -> pa.Table:
+        split = split_assign_batch("doc_id")(batch)
+        return batch.append_column("split", split.column("split"))
+
+    return sampled.map_batches(attach_split, batch_format="pyarrow")
+
+
+def curate_corpus_sql(min_quality_ppm=CURATE_MIN_QUALITY_PPM):
+    strat = stratified_filter_sql(
+        STRATA_RATES_PPM, "lang", "doc_id", STRATA_DEFAULT_PPM
+    )
+    split_case = split_sql("doc_id", "j").replace("SELECT doc_id, ", "").replace(
+        " FROM j", ""
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, lang,
+         length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+            // greatest(length(text), 1)
+          + least(length(regexp_extract_all(text, '\\S+')), 200) * 5000) // 2
+           AS quality_ppm
+  FROM documents
+),
+f AS (SELECT * FROM q WHERE quality_ppm >= {min_quality_ppm}),
+d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+j AS (SELECT f.doc_id, f.lang, f.n_tokens, f.quality_ppm FROM f JOIN d USING (doc_id))
+SELECT doc_id, lang, n_tokens, quality_ppm, {split_case}
+FROM j WHERE {strat}
+"""
+
+
+# --- vocabulary building ----------------------------------------------------
+
+VOCAB_K = 100
+
+
+def vocab_top_tokens(sf_dir, k=VOCAB_K):
+    """Corpus-wide top-k tokens by count (tokenizer-vocab seed).
+
+    Per-batch token explosion is pure Arrow (split_pattern_regex +
+    list_flatten) followed by a vectorized value-count — the exchange
+    moves (token, partial_count) rows, bounded by per-batch distinct
+    tokens, not corpus token occurrences. Final order: count desc, token
+    asc (fully deterministic).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def vocab_top_tokens_sql(k=VOCAB_K):
+    return (
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents"
+        f") GROUP BY token ORDER BY n DESC, token LIMIT {k}"
+    )

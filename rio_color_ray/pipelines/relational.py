@@ -959,3 +959,161 @@ SELECT event_type,
 FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Range join (interval join): per purchase, clicks in the preceding hour.
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def range_join_clicks(sf_dir, window_us=RANGE_JOIN_WINDOW_US):
+    """For every purchase, how many clicks the same user made in
+    ``[ts - window, ts)``.
+
+    Ray Data has no interval join; the scale-sane composition is ONE
+    shuffle on user_id (the natural partitioning key — intervals never
+    cross users) and a vectorized in-group range count: sort the user's
+    clicks once, then two np.searchsorted calls give every purchase's
+    [lo, hi) click window. Groups are per-user sized; the exchange moves
+    only (user_id, ts, event_id, type) — no pairwise expansion ever
+    materializes, unlike the naive theta-join which is O(clicks x
+    purchases) per user.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column("event_type"), value_set=pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def count_range(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_click = (group["event_type"] == "click").to_numpy()
+        click_ts = np.sort(ts[is_click])
+        pmask = ~is_click
+        pts = ts[pmask]
+        lo = np.searchsorted(click_ts, pts - window_us, side="left")
+        hi = np.searchsorted(click_ts, pts, side="left")
+        return pd.DataFrame(
+            {
+                "event_id": group["event_id"].to_numpy()[pmask],
+                "user_id": group["user_id"].to_numpy()[pmask],
+                "ts": pts.astype("datetime64[us]"),
+                "n_clicks_1h": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(count_range, batch_format="pandas")
+
+
+RANGE_JOIN_SQL = f"""
+SELECT p.event_id, p.user_id, p.ts, CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+  AND epoch_us(c.ts) >= epoch_us(p.ts) - {RANGE_JOIN_WINDOW_US}
+  AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# LEFT outer join: every customer with order count + spend (0 if none).
+# ---------------------------------------------------------------------------
+
+
+def customer_order_counts(sf_dir, n_buckets=16):
+    """All customers with their order count and total spend in cents.
+
+    The orders side collapses to per-customer partials BEFORE the join
+    (the aggregate is at most |customers| rows), then the engine's
+    bucketed hash join runs with ``how='left'`` so customers without
+    orders survive with zeros. Both sides shuffle once on the customer
+    key; no driver-side materialization.
+    """
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "c_custkey": batch["o_custkey"],
+                "n_orders": np.ones(len(batch), dtype=np.int64),
+                "spend_cents": np.rint(
+                    batch["o_totalprice"].to_numpy() * 100
+                ).astype(np.int64),
+            }
+        )
+        return b.groupby("c_custkey", as_index=False).sum()
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("spend_cents", alias_name="spend_cents"),
+        )
+    )
+    joined = bucketed_hash_join(
+        cust, per_cust, key="c_custkey", n_buckets=n_buckets, how="left"
+    )
+
+    def fill_zero(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        for c in ("n_orders", "spend_cents"):
+            batch[c] = batch[c].fillna(0).astype(np.int64)
+        return batch
+
+    return joined.map_batches(fill_zero, batch_format="pandas")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS spend_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lag window: gap to the previous event of the same user.
+# ---------------------------------------------------------------------------
+
+
+def event_gaps(sf_dir):
+    """(event_id, user_id, gap_us) for every event with a predecessor.
+
+    The lag window over (user_id ORDER BY ts, event_id) as one user_id
+    shuffle + a vectorized in-group diff — the same exchange sessionize
+    pays, reused; no per-row Python.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[1:],
+                "user_id": g["user_id"].to_numpy()[1:],
+                "gap_us": np.diff(ts),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+EVENT_GAPS_SQL = """
+SELECT event_id, user_id, gap_us FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+) WHERE gap_us IS NOT NULL
+"""

@@ -1,0 +1,110 @@
+"""Corpus-curation pipelines (split / stratified sample / curate / vocab)
+vs exact DuckDB oracles, plus the splitmix64 determinism properties the
+100 TB design depends on."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return c
+
+
+def _check(ray_result, con, sql):
+    rdf = ray_result.to_pandas()
+    odf = con.sql(sql).df()
+    cols = sorted(rdf.columns)
+    assert cols == sorted(odf.columns)
+    a = rdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = odf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    return rdf
+
+
+def test_splitmix64_sql_twin():
+    """The DuckDB HUGEINT mixer reproduces numpy splitmix64 bit-for-bit,
+    including values near 2^64 (the INT128-overflow danger zone)."""
+    from rio_color_ray.stages.sampling import splitmix64, splitmix64_sql
+
+    xs = np.array(
+        [0, 1, 2, 12345, 2**32 - 1, 2**32, 2**63 - 1, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    want = splitmix64(xs)
+    con = duckdb.connect()
+    vals = ", ".join(f"({int(x)}::HUGEINT)" for x in xs)
+    got = con.sql(
+        f"SELECT {splitmix64_sql('x')} AS h FROM (VALUES {vals}) t(x)"
+    ).fetchall()
+    assert [int(g[0]) % (1 << 64) for g in got] == [int(w) for w in want]
+
+
+def test_train_test_split(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.train_test_split(SF), con, curate.TRAIN_TEST_SPLIT_SQL)
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(out) == n_docs
+    assert set(out["split"]) <= {"train", "valid", "test"}
+    # 98/1/1: train dominates even at tiny scale
+    assert (out["split"] == "train").mean() > 0.9
+
+
+def test_split_stable_under_batch_size(ray_session):
+    """The assignment is a pure row function: different block layouts
+    produce the identical split (the resume/repartition invariant)."""
+    import ray.data
+
+    from rio_color_ray.stages.sampling import split_assign_batch
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    a = (
+        ds.map_batches(split_assign_batch("doc_id"), batch_format="pyarrow", batch_size=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        ds.repartition(5)
+        .map_batches(split_assign_batch("doc_id"), batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sample_stratified(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.sample_stratified(SF), con, curate.SAMPLE_STRATIFIED_SQL)
+    # the head language is actually downsampled
+    full = con.sql("SELECT lang, count(*) AS n FROM documents GROUP BY lang").df()
+    full = dict(zip(full["lang"], full["n"]))
+    got = out["lang"].value_counts().to_dict()
+    assert got.get("en", 0) < full.get("en", 0)
+
+
+def test_curate_corpus(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.curate_corpus(SF), con, curate.curate_corpus_sql())
+    assert (out["quality_ppm"] >= curate.CURATE_MIN_QUALITY_PPM).all()
+    assert out["doc_id"].is_unique
+
+
+def test_vocab_top_tokens(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.vocab_top_tokens(SF), con, curate.vocab_top_tokens_sql())
+    n = out["n"].to_numpy()
+    assert (np.diff(n) <= 0).all()  # count-descending

@@ -284,3 +284,56 @@ def test_value_quantiles_per_type(ray_session, con):
     assert len(out) == 5
     q = out[["p25_cents", "p50_cents", "p75_cents", "p90_cents"]].to_numpy()
     assert (np.diff(q, axis=1) >= 0).all()
+
+
+def test_range_join_clicks(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.range_join_clicks(SF), con, R.RANGE_JOIN_SQL)
+    assert (out["n_clicks_1h"] >= 0).all()
+    # every purchase appears exactly once, including zero-click ones
+    n_purch = con.sql(
+        "SELECT count(*) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert len(out) == n_purch
+
+
+def test_customer_order_counts_left_join(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.customer_order_counts(SF), con, R.CUSTOMER_ORDER_COUNTS_SQL)
+    n_cust = con.sql("SELECT count(*) FROM customer").fetchone()[0]
+    assert len(out) == n_cust  # LEFT: all customers survive
+    assert (out.loc[out["n_orders"] == 0, "spend_cents"] == 0).all()
+
+
+def test_bucketed_join_left_unmatched(ray_session):
+    """how='left' keeps left rows with no right match (null right cols) —
+    the zero-orders branch sf0.001 happens not to contain."""
+    import ray.data
+
+    from rio_color_ray.stages.join import bucketed_hash_join
+
+    ldf = pd.DataFrame({"k": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+    rdf = pd.DataFrame({"k": [2, 4], "n": [10, 20]})
+    out = (
+        bucketed_hash_join(
+            ray.data.from_pandas(ldf), ray.data.from_pandas(rdf), key="k",
+            n_buckets=3, how="left",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert out["n"].isna().tolist() == [True, False, True, False]
+
+
+def test_event_gaps(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.event_gaps(SF), con, R.EVENT_GAPS_SQL)
+    assert (out["gap_us"] >= 0).all()
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    n_users = con.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(out) == n_events - n_users  # one lag-less first event per user
