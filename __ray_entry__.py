@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": corpus.ann_topk,
         "ann_topk_ivf": corpus.ann_topk_ivf,
         "embedding_near_dup": corpus.embedding_near_dup,
+        "label_centroids": corpus.label_centroids,
         # multimodal
         "media_features": corpus.media_features,
         "media_resize": corpus.media_resize,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus curation (deterministic sampling / mixing / vocab)
         "train_test_split": curate.train_test_split,
         "sample_stratified": curate.sample_stratified,
+        "sample_k_per_stratum": curate.sample_k_per_stratum,
         "curate_corpus": curate.curate_corpus,
         "vocab_top_tokens": curate.vocab_top_tokens,
     }
@@ -118,7 +120,11 @@ def oracle_sql() -> dict[str, str]:
         color_tiles_content_sql,
         render_tiles_content_sql,
     )
-    from rio_color_ray.pipelines.corpus import audio_frames_sql, video_frames_sql
+    from rio_color_ray.pipelines.corpus import (
+        audio_frames_sql,
+        label_centroids_sql,
+        video_frames_sql,
+    )
     from rio_color_ray.spatial.hexgrid import hex_cell_sql
     from rio_color_ray.spatial.s2 import s2_cell_sql
     from rio_color_ray.stages.cellify import S2_LEVEL
@@ -236,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": fingerprint_sql(),
         "audio_frames": audio_frames_sql(),
         "video_frames": video_frames_sql(),
+        "label_centroids": label_centroids_sql(),
         "near_dup_minhash": near_dup_minhash_sql(),
         "near_dup_jaccard": near_dup_jaccard_sql(),
         "near_dup_simhash": near_dup_simhash_sql(),
@@ -262,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "train_test_split": curate.TRAIN_TEST_SPLIT_SQL,
         "sample_stratified": curate.SAMPLE_STRATIFIED_SQL,
+        "sample_k_per_stratum": curate.sample_k_per_stratum_sql(),
         "curate_corpus": curate.curate_corpus_sql(),
         "vocab_top_tokens": curate.vocab_top_tokens_sql(),
     }

@@ -117,7 +117,7 @@ def run_bench():
     return result
 
 
-def run_scaling_child(num_cpus, n_runs=3):
+def run_scaling_child(num_cpus, n_runs=4):
     ray = _init_ray(num_cpus)
     from rio_color_ray.pipelines.flagship import flagship
 

@@ -225,5 +225,36 @@ def resume_cmd(sf_dir, out_dir, n_parts, replicate, max_partitions):
     click.echo(json.dumps(summary))
 
 
+
+
+@engine.command("curate")
+@click.argument("sf_dir", type=click.Path(exists=True))
+@click.argument("out_dir")
+@click.option("--n-parts", type=int, default=16)
+@click.option("--min-quality-ppm", type=int, default=None)
+@click.option("--max-partitions", type=int, default=None, help="Stop after this many partitions (testing).")
+def curate_cmd(sf_dir, out_dir, n_parts, min_quality_ppm, max_partitions):
+    """Run or resume the checkpointed corpus-curation funnel.
+
+    Quality filter -> exact dedup -> stratified sample -> split, written
+    as one parquet partition per CONTENT-HASH bucket with lineage, so a
+    killed run resumes from the completed buckets.
+    """
+    from .pipelines.curate import CURATE_MIN_QUALITY_PPM
+    from .state import resumable_curate
+
+    _ensure_ray()
+    summary = resumable_curate(
+        sf_dir,
+        out_dir,
+        n_parts=n_parts,
+        max_partitions=max_partitions,
+        min_quality_ppm=(
+            CURATE_MIN_QUALITY_PPM if min_quality_ppm is None else min_quality_ppm
+        ),
+    )
+    click.echo(json.dumps(summary))
+
+
 if __name__ == "__main__":
     engine()

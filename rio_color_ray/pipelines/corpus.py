@@ -532,3 +532,67 @@ SELECT media_id, CAST(i // {frame_bytes} AS BIGINT) AS frame,
        CAST(sum(u) AS BIGINT) AS sum_luma
 FROM b GROUP BY 1, 2
 """
+
+
+# --- embedding centroids (per-label vector aggregate) -----------------------
+
+_CENTROID_Q = 1 << 20  # quantization scale: float32->float64 (exact), x 2^20
+# (exact power-of-two scaling in float64), floor -> int64. floor, not round:
+# scaled float32 values DO land exactly on .5 (dyadic rationals), where
+# numpy rint (half-to-even) and SQL round (half-away-from-zero) disagree;
+# floor is tie-free, so both engines produce the identical integer.
+
+
+def label_centroids(sf_dir):
+    """Per-(label, dim) embedding sums in Q20 fixed point + counts.
+
+    The distributed centroid primitive (k-means update / class
+    prototypes): each batch reduces its vectors to one partial row per
+    (label, dim) with a single np.add.at scatter — the exchange moves
+    labels x dim partial rows per batch, never the vectors. The mean is
+    sum_q20 / (n * 2^20) — division left to the consumer so the
+    transported value stays an exact int64.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        q = np.floor(vecs * _CENTROID_Q).astype(np.int64)  # (rows, dim)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dim = q.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq)), pa.int64()),
+                "sum_q20": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_q20", alias_name="sum_q20"), Sum("n", alias_name="n"))
+    )
+
+
+def label_centroids_sql():
+    return f"""
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(CAST(e AS DOUBLE) * {_CENTROID_Q}) AS BIGINT)) AS BIGINT)
+         AS sum_q20,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+"""

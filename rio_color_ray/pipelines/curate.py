@@ -81,7 +81,7 @@ SAMPLE_STRATIFIED_SQL = (
 CURATE_MIN_QUALITY_PPM = 550_000
 
 
-def curate_corpus(sf_dir, min_quality_ppm=CURATE_MIN_QUALITY_PPM):
+def curate_corpus(sf_dir, min_quality_ppm=CURATE_MIN_QUALITY_PPM, parts=None, n_parts=None):
     """Quality-filter -> exact-dedup -> stratified-sample -> split.
 
     The full curation funnel over the documents table, ending in the
@@ -95,6 +95,14 @@ def curate_corpus(sf_dir, min_quality_ppm=CURATE_MIN_QUALITY_PPM):
     split assignment are stateless row functions after the exchange.
     Hash-collision note as stages/dedup.py: ~0.03 expected collisions at
     10^12 docs; exact at test scale (the oracle groups by full text).
+
+    ``parts``/``n_parts`` (the checkpoint-resume hook,
+    state/checkpoint.py:resumable_curate): keep only rows whose
+    CONTENT-HASH bucket ``h64 % n_parts`` is in ``parts``, and carry the
+    bucket as a ``part`` column. Partitioning by content hash — not by
+    doc_id — is what makes resume exact: a dedup group lives entirely
+    inside one bucket, so recomputing a pending bucket can never be
+    perturbed by duplicates that landed in completed ones.
     """
 
     def metrics_and_filter(batch: pa.Table) -> pa.Table:
@@ -111,16 +119,20 @@ def curate_corpus(sf_dir, min_quality_ppm=CURATE_MIN_QUALITY_PPM):
         h = pd.util.hash_array(
             np.asarray(text.to_pylist(), dtype=object)
         ).astype(np.int64)
-        out = pa.table(
-            {
-                "h64": pa.array(h, pa.int64()),
-                "doc_id": batch.column("doc_id"),
-                "lang": batch.column("lang"),
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-                "quality_ppm": pa.array(quality_ppm, pa.int64()),
-            }
-        )
-        return out.filter(pa.array(quality_ppm >= min_quality_ppm))
+        cols = {
+            "h64": pa.array(h, pa.int64()),
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "quality_ppm": pa.array(quality_ppm, pa.int64()),
+        }
+        keep = quality_ppm >= min_quality_ppm
+        if n_parts is not None:
+            part = h.view(np.uint64) % np.uint64(n_parts)
+            cols["part"] = pa.array(part.astype(np.int64), pa.int64())
+            if parts is not None:
+                keep = keep & np.isin(part.astype(np.int64), np.asarray(parts))
+        return pa.table(cols).filter(pa.array(keep))
 
     filtered = documents(sf_dir).map_batches(metrics_and_filter, batch_format="pyarrow")
 
@@ -224,3 +236,61 @@ def vocab_top_tokens_sql(k=VOCAB_K):
         "SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents"
         f") GROUP BY token ORDER BY n DESC, token LIMIT {k}"
     )
+
+
+# --- fixed-size per-stratum sample ------------------------------------------
+
+SAMPLE_K = 25
+SAMPLE_K_SALT = 0x4B53414D504C45  # distinct hash stream
+
+
+def sample_k_per_stratum(sf_dir, k=SAMPLE_K):
+    """Exactly min(k, |stratum|) documents per language, uniformly.
+
+    The deterministic reservoir: rank documents inside each stratum by
+    splitmix64(doc_id) and keep the k smallest — a uniform k-sample
+    that is identical on every run and every cluster layout (order-by-
+    random-hash is the distributed replacement for reservoir sampling,
+    which is sequential by construction). Per-batch partial top-k first,
+    so the per-lang exchange moves at most k rows per (batch, lang),
+    then a tiny per-stratum final reduce.
+    """
+    from ..stages.sampling import splitmix64
+
+    ds = documents(sf_dir).select_columns(["doc_id", "lang"])
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(SAMPLE_K_SALT))
+        # shift into int64 order-preservingly (uint64 msb -> sign bit)
+        return batch.append_column(
+            "h", pa.array((h - np.uint64(1 << 63)).view(np.int64), pa.int64())
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return b.groupby("lang", as_index=False).head(k)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "doc_id"], kind="mergesort").head(k)
+        return g[["lang", "doc_id"]]
+
+    return (
+        ds.map_batches(with_hash, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def sample_k_per_stratum_sql(k=SAMPLE_K):
+    from ..stages.sampling import splitmix64_sql
+
+    h = splitmix64_sql(f"xor(CAST(doc_id AS HUGEINT), {int(SAMPLE_K_SALT)})")
+    return f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY ({h}), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {k}
+"""

@@ -738,14 +738,16 @@ SELECT o_orderpriority, rank, o_orderkey, price_cents FROM (
 Q18_MIN_QTY = 200
 
 
-def q18_large_orders(sf_dir, min_qty=Q18_MIN_QTY):
+def q18_large_orders(sf_dir, min_qty=Q18_MIN_QTY, n_buckets=16):
     """Orders whose total lineitem quantity exceeds ``min_qty``.
 
     Two-level aggregate (per-batch partial sums -> small groupby), the
-    HAVING filter applied post-aggregate, then the surviving keyset —
-    tiny by construction — broadcast back over orders as a semi-filter
-    and the customer dimension broadcast-merged. The only all-to-all
-    moves (l_orderkey, partial_qty) pairs.
+    HAVING filter applied post-aggregate, and the survivors joined back
+    to orders INSIDE the dataset with the bucketed hash join — no
+    driver-side keyset materialization (the HAVING tail is "tiny" only
+    probabilistically; at 10^12 rows a driver dict is a bet, a bucketed
+    exchange is not). The customer-name dimension ships once via
+    ray.put, per the engine's dimension-broadcast convention.
     """
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
@@ -762,37 +764,49 @@ def q18_large_orders(sf_dir, min_qty=Q18_MIN_QTY):
             lambda b: b.filter(pc.greater(b.column("sum_qty"), min_qty)),
             batch_format="pyarrow",
         )
+        .map_batches(
+            lambda b: b.rename_columns(
+                ["o_orderkey" if c == "l_orderkey" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
     )
-    qty = {r["l_orderkey"]: r["sum_qty"] for r in per_order.take_all()}  # HAVING
-    # survivors: tiny (the tail of the qty distribution) -> broadcast
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
-    orders = broadcast_semi_filter(orders, set(qty), "o_orderkey")
+    joined = bucketed_hash_join(orders, per_order, key="o_orderkey", n_buckets=n_buckets)
 
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    name_of = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
-    )
-    qty_ref, name_ref = ray.put(qty), ray.put(name_of)
+    from ..stages.join import BroadcastJoinStage
+    from ..stages.statecache import make_stage_fn
 
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        q, n = ray.get(qty_ref), ray.get(name_ref)
-        out = pd.DataFrame(
+    cust = (
+        pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+
+    with_name = joined.map_batches(
+        make_stage_fn(BroadcastJoinStage, ray.put(cust), "o_custkey"),
+        batch_format="pandas",
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
             {
-                "c_name": batch["o_custkey"].map(n),
+                "c_name": batch["c_name"],
                 "o_orderkey": batch["o_orderkey"],
                 "o_orderdate": batch["o_orderdate"].astype("datetime64[us]"),
-                "price_cents": np.rint(batch["o_totalprice"].to_numpy() * 100).astype(np.int64),
-                "sum_qty": batch["o_orderkey"].map(q).astype(np.int64),
+                "price_cents": np.rint(
+                    batch["o_totalprice"].to_numpy() * 100
+                ).astype(np.int64),
+                "sum_qty": batch["sum_qty"].astype(np.int64),
             }
         )
-        return out
 
-    return orders.map_batches(attach, batch_format="pandas")
+    return with_name.map_batches(finish, batch_format="pandas")
 
 
 Q18_SQL = f"""
@@ -868,19 +882,25 @@ def q10_returned_revenue(sf_dir, k=20, n_buckets=16):
         .limit(k)
     )
 
+    # the result is k rows by construction — collect it, then read ONLY
+    # those k customers' names (predicate pushed into the Parquet scan:
+    # k keys, not the 150k x sf dimension, leave storage)
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    name_of = dict(
-        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    top = per_cust.to_pandas()
+    keys = top["o_custkey"].tolist()
+    cust = (
+        pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name"],
+            filters=pads.field("c_custkey").isin(keys),
+        )
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
     )
-
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["c_name"] = batch["o_custkey"].map(name_of)
-        return batch[["o_custkey", "c_name", "revenue_micros"]]
-
-    return per_cust.map_batches(attach, batch_format="pandas")
+    out = top.merge(cust, on="o_custkey", how="left")
+    return out[["o_custkey", "c_name", "revenue_micros"]]
 
 
 Q10_SQL = f"""

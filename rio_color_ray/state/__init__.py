@@ -26,6 +26,7 @@ from .checkpoint import (
     checkpointed_write,
     partition_of_lonlat,
     read_output,
+    resumable_curate,
     resumable_flagship,
 )
 
@@ -37,5 +38,6 @@ __all__ = [
     "checkpointed_write",
     "partition_of_lonlat",
     "read_output",
+    "resumable_curate",
     "resumable_flagship",
 ]

@@ -199,3 +199,95 @@ def read_output(out_dir):
     if "part" in ds.schema().names:
         ds = ds.drop_columns(["part"])
     return ds
+
+
+# --- resumable corpus curation ---------------------------------------------
+
+
+def _curate_partition_writer(out_dir, stage):
+    """map_groups fn: write one content-hash bucket's curated rows +
+    lineage. cell_lo/cell_hi carry the bucket id (the lineage schema's
+    range fields; a hash bucket is a degenerate range)."""
+
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        p = int(group["part"].iloc[0])
+        rows_in = len(group)
+        body = group.drop(columns=["part"]).sort_values("doc_id").reset_index(drop=True)
+        part_dir = os.path.join(out_dir, f"part={p}")
+        os.makedirs(part_dir, exist_ok=True)
+        os.makedirs(os.path.join(out_dir, TMP_DIR), exist_ok=True)
+        tmp = os.path.join(out_dir, TMP_DIR, f"dat-{p}-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+        rec = {
+            "partition_id": str(p),
+            "cell_lo": p,
+            "cell_hi": p,
+            "rows_in": int(rows_in),
+            "rows_out": int(len(body)),
+            "stage": stage,
+            "wall_s": round(time.time() - t0, 4),
+            "checkpoint_ts": now_ts(),
+        }
+        write_lineage_record(out_dir, rec)
+        return pd.DataFrame([rec])
+
+    return write_group
+
+
+def resumable_curate(sf_dir, out_dir, n_parts=16, max_partitions=None, **curate_kw):
+    """Run (or resume) the corpus-curation funnel, checkpointed per
+    CONTENT-HASH bucket.
+
+    Partitioning by ``h64 % n_parts`` (not doc_id) makes resume exact:
+    every dedup group lies wholly inside one bucket, so recomputing a
+    pending bucket sees the same duplicate set as the original run —
+    completed buckets can never change its output. The bucket filter is
+    applied in the first map_batches (pipelines/curate.py), so completed
+    buckets' documents are dropped before the dedup exchange.
+    """
+    from ..pipelines.curate import curate_corpus
+
+    t_run = time.time()
+    done = completed_partitions(out_dir)
+    pending = [p for p in range(n_parts) if str(p) not in done]
+    if max_partitions is not None:
+        pending = pending[:max_partitions]
+    if not pending:
+        return {
+            "completed_before": len(done),
+            "written_now": 0,
+            "n_parts": n_parts,
+            "wall_s": 0.0,
+        }
+
+    ds = curate_corpus(sf_dir, parts=pending, n_parts=n_parts, **curate_kw)
+    lineage = (
+        ds.groupby("part", num_partitions=min(n_parts, len(pending)))
+        .map_groups(_curate_partition_writer(out_dir, "curate"), batch_format="pandas")
+        .to_pandas()  # tiny: one row per partition
+    )
+    wrote = set(lineage["partition_id"].astype(str)) if len(lineage) else set()
+    for p in pending:
+        if str(p) not in wrote:
+            write_lineage_record(
+                out_dir,
+                {
+                    "partition_id": str(p),
+                    "cell_lo": p,
+                    "cell_hi": p,
+                    "rows_in": 0,
+                    "rows_out": 0,
+                    "stage": "curate-empty",
+                    "wall_s": 0.0,
+                    "checkpoint_ts": now_ts(),
+                },
+            )
+    return {
+        "completed_before": len(done),
+        "written_now": len(pending),
+        "rows_out": int(lineage["rows_out"].sum()) if len(lineage) else 0,
+        "n_parts": n_parts,
+        "wall_s": round(time.time() - t_run, 3),
+    }

@@ -441,3 +441,32 @@ def test_ann_ivf_recall_vs_brute(ray_session):
     e = set(zip(exact["query_id"], exact["vec_id"]))
     a = set(zip(approx["query_id"], approx["vec_id"]))
     assert len(e & a) / len(e) >= 0.9, (len(e & a), len(e))
+
+
+def test_label_centroids(ray_session):
+    """Exact Q20 fixed-point centroid sums vs the DuckDB unnest oracle,
+    plus the reconstructed mean vs a plain numpy oracle."""
+    import duckdb
+
+    from rio_color_ray.pipelines.corpus import label_centroids, label_centroids_sql
+
+    rdf = label_centroids(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    odf = con.sql(label_centroids_sql()).df()
+    cols = sorted(rdf.columns)
+    a = rdf[cols].sort_values(["label", "dim"]).reset_index(drop=True)
+    b = odf[cols].sort_values(["label", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+    # reconstructed means track the true float centroids
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    lab0 = t["label"].iloc[0]
+    want = np.stack(t.loc[t["label"] == lab0, "embedding"].to_numpy()).mean(axis=0)
+    got_rows = a[a["label"] == lab0].sort_values("dim")
+    got = got_rows["sum_q20"].to_numpy() / (got_rows["n"].to_numpy() * (1 << 20))
+    assert np.abs(got - want).max() < 1e-5

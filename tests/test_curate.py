@@ -108,3 +108,67 @@ def test_vocab_top_tokens(ray_session, con):
     out = _check(curate.vocab_top_tokens(SF), con, curate.vocab_top_tokens_sql())
     n = out["n"].to_numpy()
     assert (np.diff(n) <= 0).all()  # count-descending
+
+
+def test_sample_k_per_stratum(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(
+        curate.sample_k_per_stratum(SF), con, curate.sample_k_per_stratum_sql()
+    )
+    sizes = con.sql(
+        "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+    ).df()
+    want = {
+        r["lang"]: min(curate.SAMPLE_K, r["n"]) for _, r in sizes.iterrows()
+    }
+    got = out["lang"].value_counts().to_dict()
+    assert got == want  # exactly min(k, stratum size) per stratum
+
+
+def test_sample_k_stable_under_layout(ray_session):
+    """Same k-sample regardless of block layout (order-by-hash, not
+    position-dependent reservoir state)."""
+    from rio_color_ray.pipelines import curate
+
+    a = (
+        curate.sample_k_per_stratum(SF)
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    import ray.data
+
+    # force a different layout by repartitioning inside a copied pipeline
+    from rio_color_ray.stages.sampling import splitmix64
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    import numpy as np
+    import pyarrow as pa
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(curate.SAMPLE_K_SALT))
+        return batch.append_column(
+            "h", pa.array((h - np.uint64(1 << 63)).view(np.int64), pa.int64())
+        )
+
+    def partial(batch):
+        b = batch.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        return b.groupby("lang", as_index=False).head(curate.SAMPLE_K)
+
+    def final(group):
+        g = group.sort_values(["h", "doc_id"], kind="mergesort").head(curate.SAMPLE_K)
+        return g[["lang", "doc_id"]]
+
+    b = (
+        ds.repartition(7)
+        .map_batches(with_hash, batch_format="pyarrow", batch_size=11)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -18,7 +18,7 @@ def con():
 
 
 def _check(ray_result, con, sql):
-    rdf = ray_result.to_pandas()
+    rdf = ray_result if isinstance(ray_result, pd.DataFrame) else ray_result.to_pandas()
     odf = con.sql(sql).df()
     a = rdf[sorted(rdf.columns)].sort_values(sorted(rdf.columns)).reset_index(drop=True)
     b = odf[sorted(odf.columns)].sort_values(sorted(odf.columns)).reset_index(drop=True)

@@ -97,3 +97,39 @@ def test_lineage_record_atomic_and_validated(tmp_path):
     }
     write_lineage_record(out, rec)
     assert completed_partitions(out) == {"7": rec}
+
+
+def test_curate_kill_and_resume_matches_oneshot(ray_session, tmp_path):
+    """Killed curation run (3 of 8 hash buckets) + resume == the oracle
+    curate_corpus output row-for-row; completed buckets untouched."""
+    from rio_color_ray.pipelines.curate import curate_corpus
+    from rio_color_ray.state import completed_partitions, read_output, resumable_curate
+
+    out_dir = str(tmp_path / "curate_ckpt")
+    s1 = resumable_curate(SF, out_dir, n_parts=8, max_partitions=3)
+    assert s1["written_now"] == 3 and s1["completed_before"] == 0
+    mt_before = _lineage_mtimes(out_dir)
+
+    s2 = resumable_curate(SF, out_dir, n_parts=8)
+    assert s2["completed_before"] == 3 and s2["written_now"] == 5
+    assert len(completed_partitions(out_dir)) == 8
+    for name, mt in _lineage_mtimes(out_dir).items():
+        if name in mt_before:
+            assert mt == mt_before[name]
+
+    s3 = resumable_curate(SF, out_dir, n_parts=8)
+    assert s3["written_now"] == 0
+
+    got = (
+        read_output(out_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        curate_corpus(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, want)
