@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_clicks": relational.range_join_clicks,
         "customer_order_counts": relational.customer_order_counts,
         "event_gaps": relational.event_gaps,
+        "users_click_and_purchase": relational.users_click_and_purchase,
+        "events_pivot": relational.events_pivot,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -175,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_clicks": R.RANGE_JOIN_SQL,
         "customer_order_counts": R.CUSTOMER_ORDER_COUNTS_SQL,
         "event_gaps": R.EVENT_GAPS_SQL,
+        "users_click_and_purchase": R.INTERSECT_SQL,
+        "events_pivot": R.PIVOT_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "

@@ -1137,3 +1137,112 @@ SELECT event_id, user_id, gap_us FROM (
   FROM events
 ) WHERE gap_us IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Set operation (INTERSECT): users who both clicked and purchased.
+# ---------------------------------------------------------------------------
+
+
+def users_click_and_purchase(sf_dir):
+    """user_ids present in BOTH the click and the purchase event sets.
+
+    Distributed INTERSECT: distinct (user, type) pairs collapse in the
+    keyed exchange (per-batch drop_duplicates first), then a per-user
+    count==2 filter — no side ever materializes as a driver set, and the
+    exchange moves at most one row per (batch, user, type).
+    """
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column("event_type"), value_set=pa.array(["click", "purchase"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+    def count_types(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("user_id", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    return (
+        pairs.map_batches(count_types, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="__t"))
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("__t"), 2)).drop_columns(["__t"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: day x event_type counts, wide.
+# ---------------------------------------------------------------------------
+
+PIVOT_TYPES = ("click", "purchase", "signup", "view", "error")
+
+
+def events_pivot(sf_dir):
+    """One row per day with a count column per event type.
+
+    Two-level aggregate on the (day, type) composite key — the wide
+    reshape happens per GROUP after the exchange, so the pivot adds no
+    shuffle beyond the keyed count. Fixed column set (schema is static),
+    unknown types counted into none.
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "day": batch["ts"].to_numpy().astype("datetime64[D]").astype("datetime64[us]"),
+                "event_type": batch["event_type"],
+            }
+        )
+        out = b.groupby(["day", "event_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def widen(group: pd.DataFrame) -> pd.DataFrame:
+        of = dict(zip(group["event_type"], group["n"]))
+        row = {"day": [group["day"].iloc[0]]}
+        for t in PIVOT_TYPES:
+            row[f"n_{t}"] = [int(of.get(t, 0))]
+        return pd.DataFrame(row)
+
+    out = counts.groupby("day").map_groups(widen, batch_format="pandas")
+    return out.map_batches(_cast_ts_us("day"), batch_format="pyarrow")
+
+
+PIVOT_SQL = (
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1"
+)

@@ -337,3 +337,23 @@ def test_event_gaps(ray_session, con):
     n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
     n_users = con.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert len(out) == n_events - n_users  # one lag-less first event per user
+
+
+def test_users_click_and_purchase(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.users_click_and_purchase(SF), con, R.INTERSECT_SQL)
+    assert out["user_id"].is_unique
+    clickers = set(
+        con.sql("SELECT DISTINCT user_id FROM events WHERE event_type='click'").df()["user_id"]
+    )
+    assert set(out["user_id"]) <= clickers
+
+
+def test_events_pivot(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.events_pivot(SF), con, R.PIVOT_SQL)
+    n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    wide_cols = [c for c in out.columns if c.startswith("n_")]
+    assert out[wide_cols].to_numpy().sum() == n_events  # partition of events
