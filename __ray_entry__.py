@@ -125,6 +125,8 @@ def oracle_sql() -> dict[str, str]:
     from rio_color_ray.pipelines.corpus import (
         audio_frames_sql,
         label_centroids_sql,
+        media_features_sql,
+        media_resize_sql,
         video_frames_sql,
     )
     from rio_color_ray.spatial.hexgrid import hex_cell_sql
@@ -247,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_frames": audio_frames_sql(),
         "video_frames": video_frames_sql(),
         "label_centroids": label_centroids_sql(),
+        "media_features": media_features_sql(),
+        "media_resize": media_resize_sql(),
         "near_dup_minhash": near_dup_minhash_sql(),
         "near_dup_jaccard": near_dup_jaccard_sql(),
         "near_dup_simhash": near_dup_simhash_sql(),

@@ -421,10 +421,12 @@ def media_features(sf_dir, concurrency=2):
 def media_resize(sf_dir, out_size=(8, 8), concurrency=2):
     """decode -> nearest-neighbor resize, fused (stages/multimodal.py).
 
-    The resize math is real (pure numpy gather over the decoded buffer);
-    rows-only check because the upstream fake decode has no SQL form.
-    Returns (media_id, height, width, n_bytes) — binary stays in the
-    cluster."""
+    The resize math is real (pure numpy gather over the decoded buffer).
+    Returns (media_id, height, width, n_bytes, sum_pixels) — the binary
+    stays in the cluster; ``sum_pixels`` (sum of the resized buffer's
+    bytes) pins the actual gather result so the DuckDB twin
+    (media_resize_sql) verifies which source pixels were selected, not
+    just the output shape."""
     from ..stages.multimodal import DecodeImageStage, ResizeImageStage
 
     decoded = _media(sf_dir).map_batches(
@@ -437,6 +439,10 @@ def media_resize(sf_dir, out_size=(8, 8), concurrency=2):
     def meta(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        sums = [
+            int(np.frombuffer(p, dtype=np.uint8).sum())
+            for p in batch.column("pixels").to_pylist()
+        ]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -445,10 +451,68 @@ def media_resize(sf_dir, out_size=(8, 8), concurrency=2):
                 "n_bytes": pc.cast(
                     pc.binary_length(batch.column("pixels")), pa.int64()
                 ),
+                "sum_pixels": pa.array(sums, pa.int64()),
             }
         )
 
     return resized.map_batches(meta, batch_format="pyarrow")
+
+
+def _sha_keystream_sql(n_blocks=24):
+    """ks(media_id, hx): the fake-codec SHA-256 hex keystream per doc —
+    the exact twin of DecodeImageStage._decode's hex-digest chain."""
+    return f"""
+RECURSIVE chain(media_id, i, h) AS (
+  SELECT doc_id, 0, sha256(text) FROM documents
+  UNION ALL
+  SELECT media_id, i + 1, sha256(h) FROM chain WHERE i < {n_blocks}
+),
+ks AS (
+  SELECT media_id, upper(string_agg(h, '' ORDER BY i)) AS hx
+  FROM chain WHERE i >= 1 GROUP BY media_id
+)"""
+
+
+def media_features_sql(h=16, w=16):
+    """DuckDB twin of :func:`media_features`: keystream bytes -> floor
+    integer channel means over the (h, w, 3) C-order layout."""
+    v = _hex_byte_sql("p")
+    n = h * w * 3
+    return f"""
+WITH {_sha_keystream_sql()},
+b AS (
+  SELECT media_id, p.p AS p, {v} AS u
+  FROM ks CROSS JOIN (SELECT unnest(range(0, {n})) AS p) p
+)
+SELECT media_id, {h} AS height, {w} AS width,
+       CAST(sum(CASE WHEN p % 3 = 0 THEN u END) // {h * w} AS BIGINT) AS mean_r,
+       CAST(sum(CASE WHEN p % 3 = 1 THEN u END) // {h * w} AS BIGINT) AS mean_g,
+       CAST(sum(CASE WHEN p % 3 = 2 THEN u END) // {h * w} AS BIGINT) AS mean_b
+FROM b GROUP BY media_id
+"""
+
+
+def media_resize_sql(h=16, w=16, oh=8, ow=8):
+    """DuckDB twin of :func:`media_resize`: the nearest-neighbor gather
+    positions computed in SQL — out (r, c, ch) reads source byte
+    ((r*h//oh)*w + (c*w//ow))*3 + ch of the keystream."""
+    v = _hex_byte_sql("p")
+    nq = oh * ow * 3
+    return f"""
+WITH {_sha_keystream_sql()},
+q AS (SELECT unnest(range(0, {nq})) AS q),
+src AS (
+  SELECT q, ((q // {ow * 3}) * {h} // {oh}) * {w * 3}
+           + ((q % {ow * 3}) // 3) * {w} // {ow} * 3
+           + q % 3 AS p
+  FROM q
+),
+b AS (SELECT media_id, {v} AS u FROM ks CROSS JOIN src)
+SELECT media_id, {oh} AS height, {ow} AS width,
+       CAST({nq} AS BIGINT) AS n_bytes,
+       CAST(sum(u) AS BIGINT) AS sum_pixels
+FROM b GROUP BY media_id
+"""
 
 
 AUDIO_FRAME_LEN = 256

@@ -25,8 +25,12 @@ class DecodeImageStage:
 
     ``fake=True`` (default here): deterministic pseudo-decode — pixels
     derived from a SHA-256 keystream of the payload, so tests exercise
-    the full actor/schema/batch path with stable outputs. ``fake=False``
-    raises NotImplementedError (no PIL/libjpeg in this container).
+    the full actor/schema/batch path with stable outputs. The chain
+    iterates over lowercase HEX DIGESTS (block_{i+1} = sha256 of the
+    ASCII hex of block_i), not raw digests, so the keystream has an
+    exact DuckDB twin (sha256() there is VARCHAR-only) — see
+    pipelines/corpus.py:media_features_sql. ``fake=False`` raises
+    NotImplementedError (no PIL/libjpeg in this container).
     """
 
     def __init__(self, out_size=(16, 16), fake=True):
@@ -42,27 +46,33 @@ class DecodeImageStage:
         h, w = self.out_size
         n = h * w * 3
         stream = bytearray()
-        seed = hashlib.sha256(payload).digest()
-        block = seed
+        hx = hashlib.sha256(payload).hexdigest()
         while len(stream) < n:
-            block = hashlib.sha256(block).digest()
-            stream.extend(block)
+            hx = hashlib.sha256(hx.encode()).hexdigest()
+            stream.extend(bytes.fromhex(hx))
         return np.frombuffer(bytes(stream[:n]), dtype=np.uint8).reshape(h, w, 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         h, w = self.out_size
         decoded = np.stack([self._decode(p) for p in payloads]) if payloads else np.zeros((0, h, w, 3), np.uint8)
-        mean_rgb = decoded.reshape(len(payloads), -1, 3).mean(axis=1) if payloads else np.zeros((0, 3))
+        # floor integer mean (sum // n): tie-free on both engines, unlike
+        # float mean + round (a mean of uint8s lands exactly on .5 where
+        # numpy half-even and SQL half-away disagree)
+        mean_rgb = (
+            decoded.reshape(len(payloads), -1, 3).sum(axis=1, dtype=np.int64) // (h * w)
+            if payloads
+            else np.zeros((0, 3), np.int64)
+        )
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "height": pa.array([h] * len(payloads), pa.int32()),
                 "width": pa.array([w] * len(payloads), pa.int32()),
                 "pixels": pa.array([d.tobytes() for d in decoded], pa.binary()),
-                "mean_r": pa.array(np.round(mean_rgb[:, 0]).astype(np.int64), pa.int64()),
-                "mean_g": pa.array(np.round(mean_rgb[:, 1]).astype(np.int64), pa.int64()),
-                "mean_b": pa.array(np.round(mean_rgb[:, 2]).astype(np.int64), pa.int64()),
+                "mean_r": pa.array(mean_rgb[:, 0], pa.int64()),
+                "mean_g": pa.array(mean_rgb[:, 1], pa.int64()),
+                "mean_b": pa.array(mean_rgb[:, 2], pa.int64()),
             }
         )
 
