@@ -407,8 +407,8 @@ def media_features(sf_dir, concurrency=2):
     """Opaque-binary media pipeline: decode (deterministic fake codec) ->
     per-image features. The actor-pool stage shape (small batch_size for
     large binary rows, per-actor init) is the real 100 TB plumbing
-    (stages/multimodal.py). Rows-only check: the SHA-keystream fake
-    decode has no ANSI-SQL form."""
+    (stages/multimodal.py). Oracle-exact: the codec's hex-digest SHA
+    keystream is reproduced in DuckDB by :func:`media_features_sql`."""
     from ..stages.multimodal import DecodeImageStage
 
     return _media(sf_dir).map_batches(
@@ -624,6 +624,15 @@ def label_centroids(sf_dir):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty row group / block-split artifact
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_q20": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
         q = np.floor(vecs * _CENTROID_Q).astype(np.int64)  # (rows, dim)
         labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -900,7 +900,9 @@ def q10_returned_revenue(sf_dir, k=20, n_buckets=16):
         .rename(columns={"c_custkey": "o_custkey"})
     )
     out = top.merge(cust, on="o_custkey", how="left")
-    return out[["o_custkey", "c_name", "revenue_micros"]]
+    # hand back a Dataset like every other queries() entry (uniform
+    # consumer contract); 20 rows, so from_pandas is free
+    return ray.data.from_pandas(out[["o_custkey", "c_name", "revenue_micros"]])
 
 
 Q10_SQL = f"""

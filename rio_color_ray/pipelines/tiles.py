@@ -251,6 +251,20 @@ FROM blobs
 """
 
 
+def _pixels_to_hex(batch: pa.Table) -> pa.Table:
+    """pixels (binary) -> pixels_hex (lowercase hex VARCHAR), other
+    columns untouched — the shared hex contract of both content twins."""
+    cols = {}
+    for name in batch.column_names:
+        if name == "pixels":
+            cols["pixels_hex"] = pa.array(
+                [v.hex() for v in batch.column("pixels").to_pylist()], pa.string()
+            )
+        else:
+            cols[name] = batch.column(name)
+    return pa.table(cols)
+
+
 def render_tiles_content(sf_dir, z=DEFAULT_ZOOM):
     """render_tiles with the pixel buffer hex-encoded (VARCHAR).
 
@@ -260,20 +274,7 @@ def render_tiles_content(sf_dir, z=DEFAULT_ZOOM):
     SAME bytes as lowercase hex — the oracle (render_tiles_sql minus the
     unhex) verifies full tile content, not just ids.
     """
-    ds = render_tiles(sf_dir, z)
-
-    def to_hex(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for name in batch.column_names:
-            if name == "pixels":
-                cols["pixels_hex"] = pa.array(
-                    [v.hex() for v in batch.column("pixels").to_pylist()], pa.string()
-                )
-            else:
-                cols[name] = batch.column(name)
-        return pa.table(cols)
-
-    return ds.map_batches(to_hex, batch_format="pyarrow")
+    return render_tiles(sf_dir, z).map_batches(_pixels_to_hex, batch_format="pyarrow")
 
 
 def render_tiles_content_sql(z=DEFAULT_ZOOM):
@@ -315,21 +316,8 @@ def color_tiles_content(sf_dir, z=DEFAULT_ZOOM):
     color stages, ops restricted to the per-band subset so DuckDB can
     reproduce the pixel bytes exactly via a 256-entry lookup.
     """
-    ds = color_tiles(sf_dir, ops=BAND_UNIFORM_OPS, z=z)
-    ds = ds.drop_columns(["ops"])
-
-    def to_hex(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for name in batch.column_names:
-            if name == "pixels":
-                cols["pixels_hex"] = pa.array(
-                    [v.hex() for v in batch.column("pixels").to_pylist()], pa.string()
-                )
-            else:
-                cols[name] = batch.column(name)
-        return pa.table(cols)
-
-    return ds.map_batches(to_hex, batch_format="pyarrow")
+    ds = color_tiles(sf_dir, ops=BAND_UNIFORM_OPS, z=z).drop_columns(["ops"])
+    return ds.map_batches(_pixels_to_hex, batch_format="pyarrow")
 
 
 def color_tiles_content_sql(z=DEFAULT_ZOOM):

@@ -47,21 +47,25 @@ def _partition_of_tile_x(x, z, n_parts):
     return (np.asarray(x, dtype=np.int64) * n_parts) // (1 << z)
 
 
-def _partition_writer(out_dir, z, n_parts, stage):
-    """map_groups fn: write one partition's rows + lineage; return the row."""
+def _partition_writer(out_dir, stage, sort_col, cell_range_fn):
+    """map_groups fn: write one partition's rows (tmp + atomic rename)
+    THEN its lineage record; return the lineage row. The single
+    idempotent-write protocol shared by every checkpointed output
+    (``sort_col`` orders rows inside the file; ``cell_range_fn(p)`` maps
+    the partition id to the lineage record's key range)."""
 
     def write_group(group: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         p = int(group["part"].iloc[0])
         rows_in = len(group)
-        body = group.drop(columns=["part"]).sort_values("tile_id").reset_index(drop=True)
+        body = group.drop(columns=["part"]).sort_values(sort_col).reset_index(drop=True)
         part_dir = os.path.join(out_dir, f"part={p}")
         os.makedirs(part_dir, exist_ok=True)
         os.makedirs(os.path.join(out_dir, TMP_DIR), exist_ok=True)
         tmp = os.path.join(out_dir, TMP_DIR, f"dat-{p}-{uuid.uuid4().hex}.parquet")
         pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
         os.replace(tmp, os.path.join(part_dir, "data.parquet"))
-        lo, hi = _x_range(p, z, n_parts)
+        lo, hi = cell_range_fn(p)
         rec = {
             "partition_id": str(p),
             "cell_lo": int(lo),
@@ -92,7 +96,12 @@ def checkpointed_write(tiles_ds, out_dir, z, n_parts, stage="flagship"):
     lineage = (
         tiles_ds.map_batches(add_part, batch_format="pyarrow")
         .groupby("part", num_partitions=n_parts)
-        .map_groups(_partition_writer(out_dir, z, n_parts, stage), batch_format="pandas")
+        .map_groups(
+            _partition_writer(
+                out_dir, stage, "tile_id", lambda p: _x_range(p, z, n_parts)
+            ),
+            batch_format="pandas",
+        )
     )
     return lineage.to_pandas()  # lineage is tiny (one row per partition)
 
@@ -204,38 +213,6 @@ def read_output(out_dir):
 # --- resumable corpus curation ---------------------------------------------
 
 
-def _curate_partition_writer(out_dir, stage):
-    """map_groups fn: write one content-hash bucket's curated rows +
-    lineage. cell_lo/cell_hi carry the bucket id (the lineage schema's
-    range fields; a hash bucket is a degenerate range)."""
-
-    def write_group(group: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.time()
-        p = int(group["part"].iloc[0])
-        rows_in = len(group)
-        body = group.drop(columns=["part"]).sort_values("doc_id").reset_index(drop=True)
-        part_dir = os.path.join(out_dir, f"part={p}")
-        os.makedirs(part_dir, exist_ok=True)
-        os.makedirs(os.path.join(out_dir, TMP_DIR), exist_ok=True)
-        tmp = os.path.join(out_dir, TMP_DIR, f"dat-{p}-{uuid.uuid4().hex}.parquet")
-        pq.write_table(pa.Table.from_pandas(body, preserve_index=False), tmp)
-        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
-        rec = {
-            "partition_id": str(p),
-            "cell_lo": p,
-            "cell_hi": p,
-            "rows_in": int(rows_in),
-            "rows_out": int(len(body)),
-            "stage": stage,
-            "wall_s": round(time.time() - t0, 4),
-            "checkpoint_ts": now_ts(),
-        }
-        write_lineage_record(out_dir, rec)
-        return pd.DataFrame([rec])
-
-    return write_group
-
-
 def resumable_curate(sf_dir, out_dir, n_parts=16, max_partitions=None, **curate_kw):
     """Run (or resume) the corpus-curation funnel, checkpointed per
     CONTENT-HASH bucket.
@@ -263,9 +240,14 @@ def resumable_curate(sf_dir, out_dir, n_parts=16, max_partitions=None, **curate_
         }
 
     ds = curate_corpus(sf_dir, parts=pending, n_parts=n_parts, **curate_kw)
+    # cell_lo/cell_hi carry the content-hash bucket id (the lineage
+    # schema's range fields; a hash bucket is a degenerate range)
     lineage = (
         ds.groupby("part", num_partitions=min(n_parts, len(pending)))
-        .map_groups(_curate_partition_writer(out_dir, "curate"), batch_format="pandas")
+        .map_groups(
+            _partition_writer(out_dir, "curate", "doc_id", lambda p: (p, p)),
+            batch_format="pandas",
+        )
         .to_pandas()  # tiny: one row per partition
     )
     wrote = set(lineage["partition_id"].astype(str)) if len(lineage) else set()

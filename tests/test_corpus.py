@@ -470,3 +470,30 @@ def test_label_centroids(ray_session):
     got_rows = a[a["label"] == lab0].sort_values("dim")
     got = got_rows["sum_q20"].to_numpy() / (got_rows["n"].to_numpy() * (1 << 20))
     assert np.abs(got - want).max() < 1e-5
+
+
+def test_media_feature_and_resize_sql_oracles(ray_session):
+    """The recursive-SHA-keystream DuckDB twins reproduce media_features
+    and media_resize value-for-value (keystream chain, byte extraction,
+    floor means, and the NN gather positions via sum_pixels)."""
+    import duckdb
+
+    from rio_color_ray.pipelines.corpus import (
+        media_features,
+        media_features_sql,
+        media_resize,
+        media_resize_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    for fn, sql in ((media_features, media_features_sql()), (media_resize, media_resize_sql())):
+        rdf = fn(SF).to_pandas()
+        odf = con.sql(sql).df()
+        cols = sorted(rdf.columns)
+        assert cols == sorted(odf.columns)
+        a = rdf[cols].sort_values("media_id").reset_index(drop=True)
+        b = odf[cols].sort_values("media_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
