@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "color_tiles_content": tiles.color_tiles_content,
         # text analysis
         "token_counts": corpus.token_counts,
+        "token_counts_bpe": corpus.token_counts_bpe,
         "quality_scores": corpus.quality_scores,
         "lang_id": corpus.lang_id,
         "fingerprints": corpus.fingerprints,
@@ -105,7 +106,12 @@ def oracle_sql() -> dict[str, str]:
     from rio_color_ray.pipelines import relational as R
     from rio_color_ray.pipelines.knn import knn_sql
     from rio_color_ray.sources.pages import REP_STRIDE, pages_sql_cte
-    from rio_color_ray.stages.text import QUALITY_SQL, fingerprint_sql, lang_id_sql
+    from rio_color_ray.stages.text import (
+        QUALITY_SQL,
+        TOKEN_BPE_SQL,
+        fingerprint_sql,
+        lang_id_sql,
+    )
     from rio_color_ray.stages.dedup import (
         near_dup_jaccard_sql,
         near_dup_minhash_sql,
@@ -241,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens "
             "FROM documents"
         ),
+        "token_counts_bpe": TOKEN_BPE_SQL,
         "render_tiles_content": render_tiles_content_sql(),
         "color_tiles_content": color_tiles_content_sql(),
         "quality_scores": QUALITY_SQL,

@@ -41,6 +41,13 @@ def token_counts(sf_dir):
     return documents(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
 
 
+def token_counts_bpe(sf_dir):
+    """Whitespace + BPE-ish (pre-tokenizer run) counts per document."""
+    from ..stages.text import token_count_bpe_batch
+
+    return documents(sf_dir).map_batches(token_count_bpe_batch, batch_format="pyarrow")
+
+
 def quality_scores(sf_dir):
     return documents(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
 

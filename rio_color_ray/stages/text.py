@@ -13,6 +13,11 @@ import pyarrow.compute as pc
 
 _TOKEN_RE = r"\S+"
 _ALPHA_RE = r"[A-Za-z]"
+# BPE-ish pre-tokenizer segmentation (letter runs / digit runs /
+# punctuation runs — the GPT-2 pattern family minus its lookahead, which
+# RE2 lacks). Both Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all are RE2, so counts agree exactly.
+_BPE_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
@@ -24,6 +29,30 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
             "n_tokens": pc.cast(n, pa.int64()),
         }
     )
+
+
+def token_count_bpe_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_bpe_tokens): whitespace AND BPE-ish counts.
+
+    ``n_bpe_tokens`` approximates what a subword tokenizer's
+    pre-tokenizer would emit (letter/digit/punctuation runs) — the
+    number a token-budgeted data pipeline actually meters on."""
+    text = batch.column("text")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64()),
+            "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, _BPE_RE), pa.int64()),
+        }
+    )
+
+
+TOKEN_BPE_SQL = (
+    "SELECT doc_id, "
+    "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+    f"length(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens "
+    "FROM documents"
+)
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:

@@ -172,3 +172,13 @@ def test_sample_k_stable_under_layout(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_token_counts_bpe(ray_session, con):
+    """BPE-ish pre-tokenizer counts match the RE2 oracle, and segment at
+    least as finely as whitespace tokens."""
+    from rio_color_ray.pipelines.corpus import token_counts_bpe
+    from rio_color_ray.stages.text import TOKEN_BPE_SQL
+
+    out = _check(token_counts_bpe(SF), con, TOKEN_BPE_SQL)
+    assert (out["n_bpe_tokens"] >= out["n_tokens"]).all()
