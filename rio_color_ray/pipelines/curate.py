@@ -221,12 +221,15 @@ def vocab_top_tokens(sf_dir, k=VOCAB_K):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    return (
+    from ..stages.topk import topk_rows
+
+    return topk_rows(
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .sort(["n", "token"], descending=[True, False])
-        .limit(k)
+        .aggregate(Sum("n", alias_name="n")),
+        ["n", "token"],
+        [True, False],
+        k,
     )
 
 

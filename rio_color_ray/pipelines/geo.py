@@ -98,10 +98,17 @@ def grid_cell_agg(sf_dir):
 
 
 def top_grid_cells(sf_dir, k=20):
-    """Densest grid cells; deterministic tie-break on cell id."""
-    return grid_cell_agg(sf_dir).sort(
-        ["n_pages", "grid_cell"], descending=[True, False]
-    ).limit(k)
+    """Densest grid cells; deterministic tie-break on cell id.
+
+    Partial top-k per block, not a full sort — the aggregate is
+    cell-count-sized, which at planet scale is still millions of rows
+    nobody wants range-partitioned for 20 survivors (stages/topk.py).
+    """
+    from ..stages.topk import topk_rows
+
+    return topk_rows(
+        grid_cell_agg(sf_dir), ["n_pages", "grid_cell"], [True, False], k
+    )
 
 
 def _salted_partial(key):

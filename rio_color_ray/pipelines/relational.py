@@ -179,9 +179,9 @@ def q3_top_orders(sf_dir, k=10, num_partitions=16, builtin_join=False):
         .groupby("o_orderkey")
         .aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
     )
-    return per_order.sort(
-        ["revenue_micros", "o_orderkey"], descending=[True, False]
-    ).limit(k)
+    from ..stages.topk import topk_rows
+
+    return topk_rows(per_order, ["revenue_micros", "o_orderkey"], [True, False], k)
 
 
 Q3_SQL = f"""
@@ -316,13 +316,14 @@ def top_users_by_value(sf_dir, k=10):
         )
         return df.groupby("user_id", as_index=False).sum()
 
-    return (
+    from ..stages.topk import topk_rows
+
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(Sum("value_cents", alias_name="value_cents"))
-        .sort(["value_cents", "user_id"], descending=[True, False])
-        .limit(k)
     )
+    return topk_rows(out, ["value_cents", "user_id"], [True, False], k)
 
 
 TOP_USERS_SQL = """
@@ -874,12 +875,15 @@ def q10_returned_revenue(sf_dir, k=20, n_buckets=16):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("o_custkey", as_index=False)["revenue_micros"].sum()
 
-    per_cust = (
+    from ..stages.topk import topk_rows
+
+    per_cust = topk_rows(
         joined.map_batches(partial, batch_format="pandas")
         .groupby("o_custkey")
-        .aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
-        .sort(["revenue_micros", "o_custkey"], descending=[True, False])
-        .limit(k)
+        .aggregate(Sum("revenue_micros", alias_name="revenue_micros")),
+        ["revenue_micros", "o_custkey"],
+        [True, False],
+        k,
     )
 
     # the result is k rows by construction — collect it, then read ONLY

@@ -357,3 +357,30 @@ def test_events_pivot(ray_session, con):
     n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
     wide_cols = [c for c in out.columns if c.startswith("n_")]
     assert out[wide_cols].to_numpy().sum() == n_events  # partition of events
+
+
+def test_topk_rows_equals_sort_limit(ray_session):
+    """topk_rows == sort().limit() row-for-row, including tie order and
+    k larger than the input."""
+    import ray.data
+
+    from rio_color_ray.stages.topk import topk_rows
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"v": rng.integers(0, 5, 500), "id": np.arange(500, dtype=np.int64)}
+    )
+    ds = ray.data.from_pandas(df).repartition(13)
+    for k in (1, 10, 1000):
+        a = (
+            topk_rows(ds, ["v", "id"], [True, False], k)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        b = (
+            ds.sort(["v", "id"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
