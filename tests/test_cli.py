@@ -196,3 +196,31 @@ def test_creation_opts(ray_session, tiles_paths, tmp_path):
     )
     assert r.exit_code == 2
     assert not os.path.exists(out3)
+
+
+def test_curate_cli_run_and_resume(ray_session, tmp_path):
+    """engine curate writes hash-bucket partitions + lineage; a second
+    invocation is a no-op resume."""
+    import json
+
+    from rio_color_ray.cli import engine
+
+    out = str(tmp_path / "curated")
+    runner = CliRunner()
+    r1 = runner.invoke(
+        engine, ["curate", "/root/testdata/sf0.001", out, "--n-parts", "4"]
+    )
+    assert r1.exit_code == 0, r1.output
+
+    def last_json(output):  # Ray log lines interleave in captured stdout
+        return json.loads(
+            [ln for ln in output.strip().splitlines() if ln.startswith("{")][-1]
+        )
+
+    s1 = last_json(r1.output)
+    assert s1["written_now"] == 4 and s1["rows_out"] > 0
+    r2 = runner.invoke(
+        engine, ["curate", "/root/testdata/sf0.001", out, "--n-parts", "4"]
+    )
+    s2 = last_json(r2.output)
+    assert s2["completed_before"] == 4 and s2["written_now"] == 0
