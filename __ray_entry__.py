@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": relational.event_gaps,
         "users_click_and_purchase": relational.users_click_and_purchase,
         "events_pivot": relational.events_pivot,
+        "late_events": relational.late_events,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": R.EVENT_GAPS_SQL,
         "users_click_and_purchase": R.INTERSECT_SQL,
         "events_pivot": R.PIVOT_SQL,
+        "late_events": R.LATE_EVENTS_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "

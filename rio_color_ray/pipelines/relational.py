@@ -1252,3 +1252,66 @@ PIVOT_SQL = (
     )
     + " FROM events GROUP BY 1"
 )
+
+
+# ---------------------------------------------------------------------------
+# Late-event detection (the watermark primitive for streaming ingestion).
+# ---------------------------------------------------------------------------
+
+
+# Deterministic simulated network reorder: the synthetic events table is
+# perfectly event-time-ordered by event_id, so a watermark over true
+# ingestion order finds nothing. Both the engine and the SQL twin derive
+# arrival_pos = event_id + (event_id * KNUTH) % JITTER — a bounded, fully
+# deterministic shuffle of arrival order (Knuth multiplicative hash).
+_ARRIVAL_KNUTH = 2654435761
+_ARRIVAL_JITTER = 4096
+
+
+def late_events(sf_dir):
+    """Events that arrived AFTER later event-time had already been seen
+    for the same user — the set a watermarking ingester would quarantine.
+
+    An event is late by ``lateness_us`` if its event time precedes the
+    running max event time of the user's earlier-arriving events, where
+    arrival order is the deterministic jittered sequence above (real
+    deployments pass an ingestion-sequence column instead). One user_id
+    shuffle + a vectorized running max (np.maximum.accumulate) per
+    group — the same exchange sessionize pays.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def late(group: pd.DataFrame) -> pd.DataFrame:
+        eid = group["event_id"].to_numpy()
+        arrival = eid + (eid * _ARRIVAL_KNUTH) % _ARRIVAL_JITTER
+        order = np.lexsort((eid, arrival))
+        ts = (
+            group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[order]
+        )
+        run_max_prev = np.empty(len(ts), dtype=np.int64)
+        run_max_prev[0] = np.iinfo(np.int64).min
+        if len(ts) > 1:
+            run_max_prev[1:] = np.maximum.accumulate(ts)[:-1]
+        is_late = ts < run_max_prev
+        return pd.DataFrame(
+            {
+                "event_id": eid[order][is_late],
+                "user_id": group["user_id"].to_numpy()[order][is_late],
+                "lateness_us": (run_max_prev - ts)[is_late],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(late, batch_format="pandas")
+
+
+LATE_EVENTS_SQL = f"""
+SELECT event_id, user_id, max_prev - epoch_us(ts) AS lateness_us FROM (
+  SELECT event_id, user_id, ts,
+         max(epoch_us(ts)) OVER (
+             PARTITION BY user_id
+             ORDER BY event_id + (event_id * {_ARRIVAL_KNUTH}) % {_ARRIVAL_JITTER},
+                      event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
+  FROM events
+) WHERE max_prev > epoch_us(ts)
+"""

@@ -384,3 +384,10 @@ def test_topk_rows_equals_sort_limit(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_late_events(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.late_events(SF), con, R.LATE_EVENTS_SQL)
+    assert (out["lateness_us"] > 0).all()
