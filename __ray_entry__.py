@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_and_purchase": relational.users_click_and_purchase,
         "events_pivot": relational.events_pivot,
         "late_events": relational.late_events,
+        "q4_late_shipments": relational.q4_late_shipments,
+        "user_running_value": relational.user_running_value,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -80,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact_docs": corpus.dedup_exact_docs,
         "dedup_exact_pages": corpus.dedup_exact_pages,
+        "dedup_clusters": corpus.dedup_clusters,
         "near_dup_minhash": corpus.near_dup_pairs_minhash,
         "near_dup_simhash": corpus.near_dup_pairs_simhash,
         "near_dup_jaccard": corpus.near_dup_pairs_jaccard,
@@ -110,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
     from rio_color_ray.stages.text import (
         QUALITY_SQL,
         TOKEN_BPE_SQL,
+        fingerprint_keys_sql,
         fingerprint_sql,
         lang_id_sql,
     )
@@ -189,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "users_click_and_purchase": R.INTERSECT_SQL,
         "events_pivot": R.PIVOT_SQL,
         "late_events": R.LATE_EVENTS_SQL,
+        "q4_late_shipments": R.Q4_SQL,
+        "user_running_value": R.USER_RUNNING_VALUE_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "
@@ -265,6 +271,20 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_simhash": near_dup_simhash_sql(),
         "dedup_exact_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        # transitive closure over shared-fingerprint edges: the engine's
+        # distributed min-label propagation must match an exact
+        # reachability computation
+        "dedup_clusters": (
+            f"WITH RECURSIVE fkeys AS ({fingerprint_keys_sql(k=2)}), "
+            "edges AS (SELECT a.doc_id AS x, b.doc_id AS y "
+            "          FROM fkeys a JOIN fkeys b USING(key) "
+            "          WHERE a.doc_id <> b.doc_id), "
+            "walk(doc_id, reach) AS ("
+            "  SELECT DISTINCT doc_id, doc_id FROM fkeys"
+            "  UNION"
+            "  SELECT w.doc_id, e.y FROM walk w JOIN edges e ON e.x = w.reach) "
+            "SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id"
         ),
         "dedup_exact_pages": (
             f"WITH reps AS (SELECT * FROM (VALUES (0), (1), (2)) v(r)), "

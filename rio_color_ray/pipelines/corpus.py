@@ -69,6 +69,30 @@ def dedup_exact_docs(sf_dir):
     return exact_dedup(documents(sf_dir), key_col="text", id_col="doc_id")
 
 
+def dedup_clusters(sf_dir, k=2, n_buckets=64):
+    """Transitive dedup clusters over the fingerprint-key graph.
+
+    Each document emits its ``k`` smallest distinct 3-gram fingerprint
+    hashes; documents sharing ANY key are near-dup candidates, and the
+    connected components of that doc–key graph are the dedup clusters a
+    curation pipeline keeps one canonical document from. Returns
+    (doc_id, cluster_id) with cluster_id = min doc_id in the component
+    (multi-hop: A~B and B~C cluster A with C even when A and C share no
+    key). Distributed min-label propagation — no pair materialization,
+    see stages/cluster.py.
+    """
+    from ..stages.cluster import min_label_components
+    from ..stages.text import fingerprint_keys_batch
+
+    keys = documents(sf_dir).map_batches(
+        lambda b: fingerprint_keys_batch(b, k=k),
+        batch_format="pyarrow",
+    )
+    return min_label_components(
+        keys, node_col="doc_id", key_col="key", n_buckets=n_buckets
+    )
+
+
 def dedup_exact_pages(sf_dir, replicate=3):
     """Min url per distinct text over a corpus with real duplicates.
 

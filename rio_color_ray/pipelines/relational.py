@@ -1315,3 +1315,116 @@ SELECT event_id, user_id, max_prev - epoch_us(ts) AS lateness_us FROM (
   FROM events
 ) WHERE max_prev > epoch_us(ts)
 """
+
+
+# ---------------------------------------------------------------------------
+# Q4 analog: orders with any late shipment, counted per priority.
+# (The real TPC-H Q4 keys on l_commitdate/l_receiptdate, which this
+# schema lacks; "shipped > 30 days after the order date" is the same
+# EXISTS-semi-join shape over the columns present.)
+# ---------------------------------------------------------------------------
+
+Q4_LATE_DAYS = 30
+
+
+def q4_late_shipments(sf_dir, n_buckets=16):
+    """Per-priority count of orders with any lineitem shipped more than
+    ``Q4_LATE_DAYS`` days after the order date.
+
+    EXISTS collapses to max(l_shipdate) per order: lineitem pre-reduces
+    to per-orderkey partials inside map_batches (at most |orders| rows
+    leave each task), one bucketed hash join against orders, then a
+    5-row priority count. No semi-join pair blowup at any scale.
+    """
+    from ray.data.aggregate import Max
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def partial_max(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "ship_us": batch["l_shipdate"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+        return b.groupby("o_orderkey", as_index=False).max()
+
+    per_order = (
+        line.map_batches(partial_max, batch_format="pandas")
+        .groupby("o_orderkey")
+        .aggregate(Max("ship_us", alias_name="ship_us"))
+    )
+    joined = bucketed_hash_join(orders, per_order, key="o_orderkey", n_buckets=n_buckets)
+    late_us = Q4_LATE_DAYS * 86_400_000_000
+
+    def late_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        od_us = batch["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_late = batch["ship_us"].to_numpy() > od_us + late_us
+        b = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_numpy()[is_late],
+                "n_late": np.ones(int(is_late.sum()), dtype=np.int64),
+            }
+        )
+        return b.groupby("o_orderpriority", as_index=False).sum()
+
+    return (
+        joined.map_batches(late_partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative window: running spend per user over the event stream.
+# ---------------------------------------------------------------------------
+
+
+def user_running_value(sf_dir):
+    """(event_id, user_id, cum_value_cents): each user's running total of
+    event value in exact integer cents, ordered by (ts, event_id).
+
+    One user_id exchange + a vectorized np.cumsum per group — the same
+    shuffle sessionize/event_gaps pay. Integer cents keep the running
+    sum order-independent and bit-exact vs the SQL window twin.
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cum_value_cents": np.cumsum(cents),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
+USER_RUNNING_VALUE_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_value_cents
+FROM events
+"""

@@ -1,0 +1,101 @@
+"""Distributed connected components over a node–key bipartite graph.
+
+The input is an exploded membership table ``(node, key)`` — e.g. each
+document paired with each of its fingerprint keys — and the output
+labels every node with the MINIMUM node id reachable through shared
+keys (transitive closure). This is the canonical-document picker of a
+dedup pipeline: docs sharing any fingerprint land in one cluster, and
+the cluster id is stable (the smallest doc id in it).
+
+Algorithm: alternating min-label propagation ("hash-to-min" on the
+bipartite graph, Rastogi et al., ICDE 2013 — public literature). The
+working set is the membership table itself with one extra int64 label
+column; each half-iteration broadcasts the group minimum within either
+the key grouping or the node grouping. A label can only decrease, so
+the fixed point is exact and convergence is detected by a zero
+changed-row count.
+
+Scale notes (100 TB):
+* No pair materialization — a hot key with 10^6 members contributes
+  10^6 rows, not 10^12 pairs (the LSH pair-blowup problem does not
+  exist here).
+* Each half-iteration is ONE exchange of the (node, key, label)
+  triple table, grouped by a hash BUCKET of the key (``n_buckets``
+  groups total) with a vectorized pandas ``transform('min')`` inside —
+  no per-group Python call, no skew sensitivity beyond the bucket.
+* Iteration count is the bipartite cluster diameter (small for dedup
+  graphs); ``max_iters`` guards pathological chains and raising —
+  rather than returning a partially-converged labeling — keeps wrong
+  answers impossible.
+* The per-iteration ``materialize()`` pins only the membership table
+  (a few int64 columns), not the corpus.
+"""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def min_label_components(
+    keys_ds: "ray.data.Dataset",
+    node_col: str = "doc_id",
+    key_col: str = "key",
+    n_buckets: int = 64,
+    max_iters: int = 30,
+) -> "ray.data.Dataset":
+    """Label each node with min(node id) of its connected component.
+
+    ``keys_ds`` must have columns ``(node_col, key_col)``, both int64.
+    Returns a Dataset ``(node_col, cluster_id)`` with one row per
+    distinct node.
+    """
+
+    def _bucket_of(col):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__b"] = df[col].to_numpy() % n_buckets
+            return df
+
+        return add
+
+    def _spread_min(group_col):
+        """Within each hash bucket, broadcast the per-group min label and
+        count how many rows changed (vectorized; one pandas groupby)."""
+
+        def fn(bucket: pd.DataFrame) -> pd.DataFrame:
+            new = bucket.groupby(group_col)["label"].transform("min")
+            out = bucket.copy()
+            out["__changed"] = (
+                (new.to_numpy() != bucket["label"].to_numpy()).astype(np.int64)
+            )
+            out["label"] = new.to_numpy()
+            return out
+
+        return fn
+
+    ds = keys_ds.map_batches(
+        lambda df: df.assign(label=df[node_col].to_numpy()),
+        batch_format="pandas",
+    )
+    for _ in range(max_iters):
+        ds = ds.map_batches(_bucket_of(key_col), batch_format="pandas")
+        ds = ds.groupby("__b").map_groups(_spread_min(key_col), batch_format="pandas")
+        ds = ds.map_batches(_bucket_of(node_col), batch_format="pandas")
+        ds = ds.groupby("__b").map_groups(_spread_min(node_col), batch_format="pandas")
+        ds = ds.drop_columns(["__b"]).materialize()
+        if ds.sum("__changed") == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"min_label_components: not converged after {max_iters} iterations"
+        )
+
+    def finish(bucket: pd.DataFrame) -> pd.DataFrame:
+        out = bucket.groupby(node_col, as_index=False)["label"].min()
+        return out.rename(columns={"label": "cluster_id"})
+
+    return (
+        ds.map_batches(_bucket_of(node_col), batch_format="pandas")
+        .groupby("__b")
+        .map_groups(finish, batch_format="pandas")
+    )

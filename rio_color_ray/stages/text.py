@@ -270,3 +270,85 @@ SELECT doc_id, CAST(CASE WHEN len(hs) = 0 THEN 0
        END % {mod63}::HUGEINT AS BIGINT) AS fingerprint
 FROM th
 """
+
+
+def fingerprint_keys_batch(batch: pa.Table, k: int = 2) -> pa.Table:
+    """Exploded (doc_id, key): each doc's ``k`` smallest DISTINCT rolling
+    3-gram hashes — the multi-key generalization of
+    :func:`fingerprint_batch` that turns fingerprints into a doc–key
+    bipartite graph (docs sharing any key are near-dup candidates, and
+    connected components over the graph are dedup clusters).
+
+    Same fallbacks as the single-fingerprint path: docs with < 3 tokens
+    use their k smallest distinct token hashes; empty docs emit key 0.
+    One exploded lexsort + first-occurrence mask + per-segment rank —
+    no per-document loop (the fingerprint_batch / min_shingles pattern).
+    """
+    texts = batch.column("text").to_pylist()
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    token_lists = [t.split() for t in texts]
+    counts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
+    flat = [w for toks in token_lists for w in toks]
+
+    out_doc = [np.asarray(doc_ids[counts == 0], dtype=np.int64)]
+    out_key = [np.zeros(int((counts == 0).sum()), dtype=np.uint64)]
+    if flat:
+        h = token_hashes(flat)
+        seg = np.repeat(np.arange(len(texts)), counts)
+        g = np.zeros_like(h)
+        valid3 = np.zeros(len(h), dtype=bool)
+        if len(h) >= 3:
+            g[:-2] = h[:-2] * _FP_P1 + h[1:-1] * _FP_P2 + h[2:]
+            valid3[:-2] = seg[:-2] == seg[2:]
+        # per element, the value that represents its doc: gram hashes for
+        # docs with >= 3 tokens, token hashes for 1-2-token docs
+        use_tokens = (counts > 0) & (counts < 3)
+        elem_mask = valid3 | use_tokens[seg]
+        vals = np.where(use_tokens[seg], h, g)[elem_mask]
+        segs = seg[elem_mask]
+        order = np.lexsort((vals, segs))
+        vs, ss = vals[order], segs[order]
+        first = np.ones(len(vs), dtype=bool)
+        first[1:] = (vs[1:] != vs[:-1]) | (ss[1:] != ss[:-1])
+        dv, dseg = vs[first], ss[first]
+        pos = np.arange(len(dseg))
+        is_start = np.ones(len(dseg), dtype=bool)
+        is_start[1:] = dseg[1:] != dseg[:-1]
+        run_lens = np.diff(np.append(np.flatnonzero(is_start), len(dseg)))
+        rank = pos - np.repeat(pos[is_start], run_lens)
+        keep = rank < k
+        out_doc.append(doc_ids[dseg[keep]].astype(np.int64))
+        out_key.append(dv[keep])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "key": pa.array(
+                (np.concatenate(out_key) % np.uint64(2**63)).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def fingerprint_keys_sql(k: int = 2) -> str:
+    """DuckDB twin of :func:`fingerprint_keys_batch` (exact)."""
+    mod64, mod63 = 1 << 64, 1 << 63
+    return f"""
+WITH th AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\\S+'),
+    t -> list_reduce(
+           list_prepend(CAST({int(_FP_H0)} AS HUGEINT),
+             list_transform(regexp_extract_all(t, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+           (a, b) -> (a * {int(_FP_B)} + b) % {mod64}::HUGEINT)) AS hs
+  FROM documents
+), ks AS (
+  SELECT doc_id, CASE WHEN len(hs) = 0 THEN [CAST(0 AS HUGEINT)]
+           WHEN len(hs) < 3 THEN list_sort(list_distinct(hs))[1:{int(k)}]
+           ELSE list_sort(list_distinct(list_transform(range(1, len(hs) - 1),
+                  i -> (hs[i] * {int(_FP_P1)} + hs[i+1] * {int(_FP_P2)} + hs[i+2])
+                       % {mod64}::HUGEINT)))[1:{int(k)}]
+         END AS keys
+  FROM th
+)
+SELECT doc_id, CAST(unnest(keys) % {mod63}::HUGEINT AS BIGINT) AS key FROM ks
+"""

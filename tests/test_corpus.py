@@ -497,3 +497,74 @@ def test_media_feature_and_resize_sql_oracles(ray_session):
         a = rdf[cols].sort_values("media_id").reset_index(drop=True)
         b = odf[cols].sort_values("media_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_fingerprint_keys_batch_invariance(ray_session):
+    """Per-doc key sets must not depend on batch composition."""
+    from rio_color_ray.stages.text import fingerprint_keys_batch
+
+    texts = ["alpha beta gamma delta eps", "one two", "x", "", "p q r s t u"]
+    whole = fingerprint_keys_batch(
+        pa.table({"doc_id": list(range(5)), "text": texts})
+    ).to_pandas()
+    for i, t in enumerate(texts):
+        single = fingerprint_keys_batch(
+            pa.table({"doc_id": [i], "text": [t]})
+        ).to_pandas()
+        got = sorted(whole.loc[whole.doc_id == i, "key"])
+        assert got == sorted(single["key"]), i
+
+
+def test_min_label_components_multi_hop(ray_session):
+    """A~B and B~C via shared keys must cluster A with C (no shared key)."""
+    import ray.data
+
+    from rio_color_ray.stages.cluster import min_label_components
+
+    keys = pd.DataFrame(
+        {
+            "doc_id": [10, 10, 20, 20, 30, 30, 40, 50, 50, 60],
+            "key": [1, 2, 2, 3, 3, 4, 99, 7, 8, 8],
+        }
+    )
+    out = (
+        min_label_components(ray.data.from_pandas(keys), n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [10, 20, 30, 40, 50, 60]
+    assert out.cluster_id.tolist() == [10, 10, 10, 40, 50, 50]
+
+
+def test_dedup_clusters_matches_transitive_closure(ray_session):
+    """Engine min-label propagation == exact recursive reachability."""
+    import duckdb
+
+    from rio_color_ray.pipelines.corpus import dedup_clusters
+    from rio_color_ray.stages.text import fingerprint_keys_sql
+
+    got = (
+        dedup_clusters(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.sql(
+        f"WITH RECURSIVE fkeys AS ({fingerprint_keys_sql(k=2)}), "
+        "edges AS (SELECT a.doc_id AS x, b.doc_id AS y FROM fkeys a "
+        "JOIN fkeys b USING(key) WHERE a.doc_id <> b.doc_id), "
+        "walk(doc_id, reach) AS ("
+        "  SELECT DISTINCT doc_id, doc_id FROM fkeys"
+        "  UNION"
+        "  SELECT w.doc_id, e.y FROM walk w JOIN edges e ON e.x = w.reach) "
+        "SELECT doc_id, min(reach) AS cluster_id FROM walk GROUP BY doc_id "
+        "ORDER BY doc_id"
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # sanity: real multi-hop clusters exist at this scale
+    assert got.cluster_id.nunique() < len(got)

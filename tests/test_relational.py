@@ -391,3 +391,19 @@ def test_late_events(ray_session, con):
 
     out = _check(R.late_events(SF), con, R.LATE_EVENTS_SQL)
     assert (out["lateness_us"] > 0).all()
+
+
+def test_q4_late_shipments(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.q4_late_shipments(SF), con, R.Q4_SQL)
+    assert out["n_late"].sum() > 0
+
+
+def test_user_running_value(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.user_running_value(SF), con, R.USER_RUNNING_VALUE_SQL)
+    # one row per event, monotone within a user by construction of cumsum
+    g = out.sort_values("event_id").groupby("user_id")["cum_value_cents"]
+    assert (g.diff().dropna() >= 0).all()
