@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": relational.late_events,
         "q4_late_shipments": relational.q4_late_shipments,
         "user_running_value": relational.user_running_value,
+        "approx_distinct_users_kmv": relational.approx_distinct_users_kmv,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -102,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_stratum": curate.sample_k_per_stratum,
         "curate_corpus": curate.curate_corpus,
         "vocab_top_tokens": curate.vocab_top_tokens,
+        "tfidf_top_terms": curate.tfidf_top_terms,
     }
 
 
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "late_events": R.LATE_EVENTS_SQL,
         "q4_late_shipments": R.Q4_SQL,
         "user_running_value": R.USER_RUNNING_VALUE_SQL,
+        "approx_distinct_users_kmv": R.approx_distinct_users_kmv_sql(),
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "
@@ -309,4 +312,5 @@ def oracle_sql() -> dict[str, str]:
         "sample_k_per_stratum": curate.sample_k_per_stratum_sql(),
         "curate_corpus": curate.curate_corpus_sql(),
         "vocab_top_tokens": curate.vocab_top_tokens_sql(),
+        "tfidf_top_terms": curate.tfidf_top_terms_sql(),
     }

@@ -297,3 +297,120 @@ SELECT lang, doc_id FROM (
   FROM documents
 ) WHERE rk <= {k}
 """
+
+
+# --- TF-IDF relevance (integer-exact) ----------------------------------------
+
+TFIDF_TOP_M = 3
+
+
+def tfidf_top_terms(sf_dir, k_vocab=VOCAB_K, m=TFIDF_TOP_M):
+    """Top-``m`` most characteristic vocab terms per document by an
+    integer-exact TF-IDF-ish score.
+
+    ``score_ppm = tf * ((1_000_000 * N) // df)`` — term frequency times a
+    parts-per-million inverse document frequency computed with integer
+    division only, so the DuckDB twin matches bit-for-bit (a log-based
+    idf would float-diverge; the ranking it induces is the same
+    rare-term-wins order).
+
+    Three passes, all streaming: (1) the corpus-wide top-``k_vocab``
+    vocabulary (tiny result, collected); (2) document frequency per
+    vocab term — per-batch DISTINCT (doc, token) partials, one exchange
+    of at most ``k_vocab`` rows per batch; (3) per-doc tf + score +
+    top-``m`` rank, entirely within map_batches (each document is one
+    row, so per-doc ranking never crosses a batch; the ~``k_vocab``-row
+    weight table ships once via ray.put). At 100 TB the only shuffle is
+    the (token, partial_df) exchange, bounded by vocab size x batches.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.statecache import process_cached
+
+    vocab = vocab_top_tokens(sf_dir, k=k_vocab).to_pandas()
+    vocab_arr = pa.array(sorted(vocab["token"].tolist()))
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()  # parquet metadata, no scan
+
+    def explode_vocab(batch: pa.Table) -> pd.DataFrame:
+        tok_lists = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+        counts = pc.list_value_length(tok_lists).to_numpy()
+        flat = pc.list_flatten(tok_lists)
+        doc_rep = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), counts
+        )
+        keep = pc.and_(
+            pc.is_in(flat, value_set=vocab_arr), pc.not_equal(flat, "")
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"doc_id": doc_rep[keep], "token": flat.to_pandas().to_numpy()[keep]}
+        )
+
+    def df_partial(batch: pa.Table) -> pd.DataFrame:
+        pairs = explode_vocab(batch).drop_duplicates()
+        out = pairs.groupby("token", as_index=False).size()
+        return out.rename(columns={"size": "df"}).astype({"df": np.int64})
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # <= k_vocab rows
+    )
+    df_tbl["weight_ppm"] = (1_000_000 * n_docs) // df_tbl["df"].to_numpy()
+    ref = ray.put(df_tbl[["token", "weight_ppm"]])
+
+    def score_batch(batch: pa.Table) -> pd.DataFrame:
+        weights = process_cached(
+            ("tfidf_weights", ref.hex()), lambda: ray.get(ref), group="tfidf"
+        )
+        tf = (
+            explode_vocab(batch)
+            .groupby(["doc_id", "token"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        scored = tf.merge(weights, on="token")
+        scored["score_ppm"] = (
+            scored["tf"].to_numpy(dtype=np.int64) * scored["weight_ppm"].to_numpy()
+        )
+        scored = scored.sort_values(
+            ["doc_id", "score_ppm", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = scored[scored.groupby("doc_id").cumcount() < m]
+        return top[["doc_id", "token", "score_ppm"]].reset_index(drop=True)
+
+    return docs.map_batches(score_batch, batch_format="pyarrow")
+
+
+def tfidf_top_terms_sql(k_vocab=VOCAB_K, m=TFIDF_TOP_M):
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+), vocab AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+  ORDER BY n DESC, token LIMIT {int(k_vocab)}
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks
+  WHERE token IN (SELECT token FROM vocab) GROUP BY token
+), nd AS (SELECT count(*) AS n_docs FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks
+  WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id, token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf * ((1000000 * nd.n_docs) // df.df) AS BIGINT) AS score_ppm
+  FROM tf JOIN df USING(token) CROSS JOIN nd
+)
+SELECT doc_id, token, score_ppm FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_ppm DESC, token) AS r
+  FROM scored
+) WHERE r <= {int(m)}
+"""

@@ -1428,3 +1428,90 @@ SELECT event_id, user_id,
          AS cum_value_cents
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch: approximate distinct users per event type.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SALT = 0x4B4D56  # distinct hash stream ("KMV")
+
+
+def approx_distinct_users_kmv(sf_dir, k=KMV_K):
+    """(event_type, n_users_approx): KMV (k-minimum-values / bottom-k)
+    distinct-count sketch — the mergeable theta-sketch primitive that
+    replaces exact COUNT(DISTINCT) when per-key member sets no longer
+    fit a reducer.
+
+    Estimator: with h_k the k-th smallest distinct splitmix64(user_id),
+    n ~= (k-1) * 2^64 / h_k (exact count when fewer than k distinct
+    hashes exist). Integer-only arithmetic, so the DuckDB twin matches
+    bit-for-bit — no float harmonic means (the reason KMV is chosen here
+    over HyperLogLog, whose bias corrections float-diverge).
+
+    Scale: each batch forwards at most k hashes per type (partial
+    bottom-k), the exchange moves k rows per (batch, type), and the
+    final per-type merge touches k*batches rows — member sets never
+    concentrate anywhere, unlike distinct_users_per_type's exact
+    two-level count.
+    """
+    from ..stages.sampling import splitmix64
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    salt = np.uint64(KMV_SALT)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.drop_duplicates()
+        h = splitmix64(b["user_id"].to_numpy().astype(np.uint64) ^ salt)
+        # shift into int64 order-preservingly (uint64 msb -> sign bit)
+        out = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "h": (h - np.uint64(1 << 63)).view(np.int64),
+            }
+        ).drop_duplicates()
+        out = out.sort_values(["event_type", "h"], kind="mergesort")
+        return out.groupby("event_type", as_index=False).head(k)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(group["h"].to_numpy())  # sorted distinct, u64 order
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            h_k = int(hs[k - 1]) + (1 << 63)  # back to unsigned value
+            est = (k - 1) * (1 << 64) // h_k
+        return pd.DataFrame(
+            {
+                "event_type": [group["event_type"].iloc[0]],
+                "n_users_approx": np.array([est], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def approx_distinct_users_kmv_sql(k=KMV_K):
+    from ..stages.sampling import splitmix64_sql
+
+    h = splitmix64_sql(f"xor(CAST(user_id AS HUGEINT), {KMV_SALT})")
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, ({h}) AS h FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY event_type) AS c
+  FROM hashes
+)
+SELECT event_type,
+       CAST(CASE WHEN c < {int(k)} THEN c
+            ELSE ({int(k)} - 1) * {1 << 64}::HUGEINT // h END AS BIGINT)
+         AS n_users_approx
+FROM ranked
+WHERE r = CASE WHEN c < {int(k)} THEN c ELSE {int(k)} END
+"""

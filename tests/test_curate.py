@@ -182,3 +182,12 @@ def test_token_counts_bpe(ray_session, con):
 
     out = _check(token_counts_bpe(SF), con, TOKEN_BPE_SQL)
     assert (out["n_bpe_tokens"] >= out["n_tokens"]).all()
+
+
+def test_tfidf_top_terms(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.tfidf_top_terms(SF), con, curate.tfidf_top_terms_sql())
+    # at most m rows per doc, scores positive
+    assert out.groupby("doc_id").size().max() <= curate.TFIDF_TOP_M
+    assert (out["score_ppm"] > 0).all()

@@ -407,3 +407,37 @@ def test_user_running_value(ray_session, con):
     # one row per event, monotone within a user by construction of cumsum
     g = out.sort_values("event_id").groupby("user_id")["cum_value_cents"]
     assert (g.diff().dropna() >= 0).all()
+
+
+def test_approx_distinct_users_kmv(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(
+        R.approx_distinct_users_kmv(SF), con, R.approx_distinct_users_kmv_sql()
+    )
+    exact = con.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1"
+    ).df()
+    m = out.merge(exact, on="event_type")
+    # KMV with k=64: relative error well inside 4/sqrt(k) = 50%; the
+    # exact branch (c < k) is bit-equal by construction
+    assert (abs(m["n_users_approx"] - m["n"]) <= 0.5 * m["n"]).all()
+
+
+def test_kmv_sketch_branch_estimates(ray_session, con):
+    """Force the sketch branch (k < distinct count) and check accuracy."""
+    from rio_color_ray.pipelines import relational as R
+
+    out = (
+        R.approx_distinct_users_kmv(SF, k=8)
+        .to_pandas()
+        .merge(
+            con.sql(
+                "SELECT event_type, count(DISTINCT user_id) AS n "
+                "FROM events GROUP BY 1"
+            ).df(),
+            on="event_type",
+        )
+    )
+    assert (out["n"] > 8).any()  # sketch branch actually exercised
+    assert (abs(out["n_users_approx"] - out["n"]) <= out["n"]).all()
