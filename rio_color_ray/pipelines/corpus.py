@@ -255,22 +255,17 @@ def near_dup_pairs_simhash(sf_dir, replicate=2, max_hamming=3):
     in a distributed groupby — the pair list never lands on the driver.
     Returns a Dataset[url_a, url_b].
     """
-    from ray.data.aggregate import Count
-
-    from ..stages.dedup import simhash_bucket_pairs
+    from ..stages.dedup import simhash_candidate_pairs
 
     ds = pages(sf_dir, replicate=replicate).select_columns(["url", "text"])
     bands = ds.map_batches(
         simhash_batch(id_col="url", text_col="text"), batch_format="pyarrow"
     )
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        simhash_bucket_pairs(max_hamming), batch_format="pandas"
-    )
-    return (
-        cand.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
-        .rename_columns({"id_a": "url_a", "id_b": "url_b"})
+    # rename via map_batches: Dataset.rename_columns assumes Arrow blocks
+    # and these are pandas (map_groups output)
+    return simhash_candidate_pairs(bands, max_hamming).map_batches(
+        lambda df: df.rename(columns={"id_a": "url_a", "id_b": "url_b"}),
+        batch_format="pandas",
     )
 
 

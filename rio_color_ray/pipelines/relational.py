@@ -174,10 +174,12 @@ def q3_top_orders(sf_dir, k=10, num_partitions=16, builtin_join=False):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("o_orderkey", as_index=False)["revenue_micros"].sum()
 
-    per_order = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("o_orderkey")
-        .aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
+    from ..stages.agg import hash_bucket_agg
+
+    per_order = hash_bucket_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        "o_orderkey",
+        lambda df: df.groupby("o_orderkey", as_index=False)["revenue_micros"].sum(),
     )
     from ..stages.topk import topk_rows
 
@@ -316,12 +318,13 @@ def top_users_by_value(sf_dir, k=10):
         )
         return df.groupby("user_id", as_index=False).sum()
 
+    from ..stages.agg import hash_bucket_agg
     from ..stages.topk import topk_rows
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("value_cents", alias_name="value_cents"))
+    out = hash_bucket_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        lambda df: df.groupby("user_id", as_index=False)["value_cents"].sum(),
     )
     return topk_rows(out, ["value_cents", "user_id"], [True, False], k)
 
@@ -337,24 +340,25 @@ SELECT user_id, value_cents FROM (
 def distinct_users_per_type(sf_dir):
     """count(distinct user_id) via TWO-LEVEL exact distinct.
 
-    Level 1 partitions by the (event_type, user_id) PAIR — the groupby
-    collapses duplicates with a group per distinct combo, so no reducer
-    ever holds one event_type's full user set (5 event types would
-    otherwise mean 5 giant groups at 100 TB). Level 2 counts the combo
-    rows per type: batch partial counts into a 5-row groupby.
+    Level 1 partitions by a hash bucket of user_id (stages/agg.py — the
+    (event_type, user_id) combo cardinality grows with the data, so the
+    distinct collapse runs as a vectorized drop_duplicates per bucket,
+    not one Ray group per combo), so no reducer ever holds one
+    event_type's full user set (5 event types would otherwise mean 5
+    giant groups at 100 TB). Level 2 counts the combo rows per type:
+    batch partial counts into a 5-row groupby.
     """
-    from ray.data.aggregate import Count
+    from ..stages.agg import hash_bucket_agg
 
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.drop_duplicates()
 
-    combos = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+    combos = hash_bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "user_id",
+        lambda df: df.drop_duplicates(),
     )
 
     def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -757,26 +761,36 @@ def q18_large_orders(sf_dir, min_qty=Q18_MIN_QTY, n_buckets=16):
         b["sum_qty"] = np.rint(b.pop("l_quantity").to_numpy()).astype(np.int64)
         return b.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
 
-    per_order = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
-        .map_batches(
-            lambda b: b.filter(pc.greater(b.column("sum_qty"), min_qty)),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda b: b.rename_columns(
-                ["o_orderkey" if c == "l_orderkey" else c for c in b.column_names]
-            ),
-            batch_format="pyarrow",
-        )
+    from ..stages.agg import hash_bucket_agg
+
+    def sum_and_filter(df: pd.DataFrame) -> pd.DataFrame:
+        # per-order keys are high-cardinality -> hash-bucket reduce
+        # (stages/agg.py); groups are complete within a bucket, so the
+        # HAVING filter and the key rename apply right here
+        out = df.groupby("l_orderkey", as_index=False)["sum_qty"].sum()
+        out = out[out["sum_qty"] > min_qty]
+        return out.rename(columns={"l_orderkey": "o_orderkey"})
+
+    per_order = hash_bucket_agg(
+        li.map_batches(partial, batch_format="pandas"), "l_orderkey", sum_and_filter
     )
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
-    joined = bucketed_hash_join(orders, per_order, key="o_orderkey", n_buckets=n_buckets)
+    joined = bucketed_hash_join(
+        orders,
+        per_order,
+        key="o_orderkey",
+        n_buckets=n_buckets,
+        left_schema={
+            "o_orderkey": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+            "o_totalprice": pa.float64(),
+        },
+        right_schema={"o_orderkey": pa.int64(), "sum_qty": pa.int64()},
+    )
 
     import pyarrow.parquet as pq
 
@@ -875,12 +889,17 @@ def q10_returned_revenue(sf_dir, k=20, n_buckets=16):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("o_custkey", as_index=False)["revenue_micros"].sum()
 
+    from ..stages.agg import hash_bucket_agg
     from ..stages.topk import topk_rows
 
     per_cust = topk_rows(
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_micros", alias_name="revenue_micros")),
+        hash_bucket_agg(
+            joined.map_batches(partial, batch_format="pandas"),
+            "o_custkey",
+            lambda df: df.groupby("o_custkey", as_index=False)[
+                "revenue_micros"
+            ].sum(),
+        ),
         ["revenue_micros", "o_custkey"],
         [True, False],
         k,
@@ -953,10 +972,12 @@ def value_quantiles_per_type(sf_dir):
         out = b.groupby(["event_type", "cents"], as_index=False).size()
         return out.rename(columns={"size": "n"})
 
-    counts = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "cents"])
-        .aggregate(Sum("n", alias_name="n"))
+    from ..stages.agg import hash_bucket_agg
+
+    counts = hash_bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "cents",
+        lambda df: df.groupby(["event_type", "cents"], as_index=False)["n"].sum(),
     )
 
     def quantiles(group: pd.DataFrame) -> pd.DataFrame:
@@ -1076,16 +1097,25 @@ def customer_order_counts(sf_dir, n_buckets=16):
         )
         return b.groupby("c_custkey", as_index=False).sum()
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby("c_custkey")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("spend_cents", alias_name="spend_cents"),
-        )
+    from ..stages.agg import hash_bucket_agg
+
+    per_cust = hash_bucket_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        "c_custkey",
+        lambda df: df.groupby("c_custkey", as_index=False).sum(),
     )
     joined = bucketed_hash_join(
-        cust, per_cust, key="c_custkey", n_buckets=n_buckets, how="left"
+        cust,
+        per_cust,
+        key="c_custkey",
+        n_buckets=n_buckets,
+        how="left",
+        left_schema={"c_custkey": pa.int64(), "c_name": pa.string()},
+        right_schema={
+            "c_custkey": pa.int64(),
+            "n_orders": pa.int64(),
+            "spend_cents": pa.int64(),
+        },
     )
 
     def fill_zero(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1153,12 +1183,13 @@ SELECT event_id, user_id, gap_us FROM (
 def users_click_and_purchase(sf_dir):
     """user_ids present in BOTH the click and the purchase event sets.
 
-    Distributed INTERSECT: distinct (user, type) pairs collapse in the
-    keyed exchange (per-batch drop_duplicates first), then a per-user
-    count==2 filter — no side ever materializes as a driver set, and the
-    exchange moves at most one row per (batch, user, type).
+    Distributed INTERSECT: distinct (user, type) pairs collapse in ONE
+    user-bucketed exchange (per-batch drop_duplicates first; a user's
+    rows are complete within their bucket, so the count==2 filter runs
+    right there, vectorized) — no side ever materializes as a driver
+    set, and the exchange moves at most one row per (batch, user, type).
     """
-    from ray.data.aggregate import Count
+    from ..stages.agg import hash_bucket_agg
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
     ds = ds.map_batches(
@@ -1171,25 +1202,13 @@ def users_click_and_purchase(sf_dir):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.drop_duplicates()
 
-    pairs = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
-    )
+    def both_types(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        g = d.groupby("user_id", as_index=False).size()
+        return g.loc[g["size"] == 2, ["user_id"]]
 
-    def count_types(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("user_id", as_index=False).size()
-        return g.rename(columns={"size": "n"})
-
-    return (
-        pairs.map_batches(count_types, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="__t"))
-        .map_batches(
-            lambda b: b.filter(pc.equal(b.column("__t"), 2)).drop_columns(["__t"]),
-            batch_format="pyarrow",
-        )
+    return hash_bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"), "user_id", both_types
     )
 
 
@@ -1333,10 +1352,12 @@ def q4_late_shipments(sf_dir, n_buckets=16):
 
     EXISTS collapses to max(l_shipdate) per order: lineitem pre-reduces
     to per-orderkey partials inside map_batches (at most |orders| rows
-    leave each task), one bucketed hash join against orders, then a
-    5-row priority count. No semi-join pair blowup at any scale.
+    leave each task), a hash-bucket max (per-order keys are
+    high-cardinality — stages/agg.py), one bucketed hash join against
+    orders, then a 5-row priority count. No semi-join pair blowup at
+    any scale.
     """
-    from ray.data.aggregate import Max
+    from ..stages.agg import hash_bucket_agg
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
@@ -1355,12 +1376,23 @@ def q4_late_shipments(sf_dir, n_buckets=16):
         )
         return b.groupby("o_orderkey", as_index=False).max()
 
-    per_order = (
-        line.map_batches(partial_max, batch_format="pandas")
-        .groupby("o_orderkey")
-        .aggregate(Max("ship_us", alias_name="ship_us"))
+    per_order = hash_bucket_agg(
+        line.map_batches(partial_max, batch_format="pandas"),
+        "o_orderkey",
+        lambda df: df.groupby("o_orderkey", as_index=False).max(),
     )
-    joined = bucketed_hash_join(orders, per_order, key="o_orderkey", n_buckets=n_buckets)
+    joined = bucketed_hash_join(
+        orders,
+        per_order,
+        key="o_orderkey",
+        n_buckets=n_buckets,
+        left_schema={
+            "o_orderkey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+            "o_orderpriority": pa.string(),
+        },
+        right_schema={"o_orderkey": pa.int64(), "ship_us": pa.int64()},
+    )
     late_us = Q4_LATE_DAYS * 86_400_000_000
 
     def late_partial(batch: pd.DataFrame) -> pd.DataFrame:

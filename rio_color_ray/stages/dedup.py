@@ -31,17 +31,25 @@ def content_hash_batch(key_col, id_col):
 
 
 def exact_dedup(ds, key_col="text", id_col="doc_id"):
-    """Keep the minimum id per distinct key value. Returns Dataset[id]."""
-    from ray.data.aggregate import Min
+    """Keep the minimum id per distinct key value. Returns Dataset[id].
+
+    The content-hash key is corpus-cardinality, so the final reduce is a
+    hash-bucket aggregate (stages/agg.py) — per-batch partial mins, one
+    exchange of (hash, id) partials, vectorized pandas min per bucket.
+    """
+    from .agg import hash_bucket_agg
 
     hashed = ds.map_batches(content_hash_batch(key_col, id_col), batch_format="pyarrow")
 
-    # partial min-per-hash inside each batch, then a tiny groupby
+    # partial min-per-hash inside each batch, then the bucketed reduce
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("h64", as_index=False)[id_col].min()
 
-    part = hashed.map_batches(partial, batch_format="pandas")
-    out = part.groupby("h64").aggregate(Min(id_col, alias_name=id_col))
+    out = hash_bucket_agg(
+        hashed.map_batches(partial, batch_format="pandas"),
+        "h64",
+        lambda df: df.groupby("h64", as_index=False)[id_col].min(),
+    )
     return out.select_columns([id_col])
 
 
@@ -183,50 +191,177 @@ class MinHashStage:
         )
 
 
-def pairs_within_group(ids, cap=MAX_BUCKET_PAIRS_IDS):
-    """Vectorized unique pairs (a < b) among ``ids``; star degrade over cap.
+def candidate_pairs_from_bands(band_ds, n_buckets=64):
+    """(band, band_hash) groups -> unique candidate id pairs (a < b).
 
-    Returns (id_a, id_b, degraded) numpy arrays + flag.
+    The LSH group count grows with the corpus (bands x distinct hashes),
+    so grouping is done on HASH BUCKETS of (band, band_hash) — Ray's
+    per-group reduce cost is paid ``n_buckets`` times, not once per LSH
+    bucket (~0.6 ms/group measured, see stages/agg.py). Inside a bucket,
+    segments are found with one lexsort + boundary mask; pair emission
+    per segment is vectorized (triu_indices) and capped (star degrade,
+    MAX_BUCKET_PAIRS_IDS). The cross-band duplicate collapse is likewise
+    a bucketed drop_duplicates keyed on a pair hash — never a
+    pair-cardinality groupby.
     """
-    u = np.unique(np.asarray(ids))
-    if len(u) < 2:
-        return u[:0], u[:0], False
-    if len(u) > cap:
-        return np.repeat(u[:1], len(u) - 1), u[1:], True
-    ia, ib = np.triu_indices(len(u), k=1)
-    return u[ia], u[ib], False
 
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        bh = df["band_hash"].to_numpy().astype(np.int64)
+        bd = df["band"].to_numpy().astype(np.int64)
+        df["__b"] = (bh * 1315423911 + bd) % n_buckets
+        return df
 
-def candidate_pairs_from_bands(band_ds):
-    """groupby (band, band_hash) -> unique candidate id pairs (a < b).
-
-    Pair emission is vectorized (triu_indices over the sorted unique ids)
-    and capped per bucket (star degrade, see MAX_BUCKET_PAIRS_IDS); the
-    cross-band duplicate collapse is a groupby aggregate — no per-pair
-    Python task.
-    """
-    from ray.data.aggregate import Count
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        a, b, degraded = pairs_within_group(group["id"].to_numpy())
+    def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["band", "band_hash", "id"]).sort_values(
+            ["band", "band_hash", "id"], kind="mergesort"
+        )
+        ids = d["id"].to_numpy()
+        bd, bh = d["band"].to_numpy(), d["band_hash"].to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        if len(d):
+            new[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        outs_a, outs_b, degraded = [], [], 0
+        for s, e in zip(starts, ends):  # numpy work per segment, ~us/seg
+            c = e - s
+            if c < 2:
+                continue
+            u = ids[s:e]
+            if c > MAX_BUCKET_PAIRS_IDS:
+                outs_a.append(np.repeat(u[:1], c - 1))
+                outs_b.append(u[1:])
+                degraded += 1
+            else:
+                ia, ib = np.triu_indices(c, k=1)
+                outs_a.append(u[ia])
+                outs_b.append(u[ib])
         if degraded:
             import logging
 
             logging.getLogger(__name__).warning(
-                "LSH bucket over %d ids degraded to star pairs (band=%s)",
+                "%d LSH buckets over %d ids degraded to star pairs",
+                degraded,
                 MAX_BUCKET_PAIRS_IDS,
-                group["band"].iloc[0],
             )
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        if not outs_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=ids.dtype if len(ids) else object),
+                    "id_b": pd.Series([], dtype=ids.dtype if len(ids) else object),
+                }
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
 
-    cand = band_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
+    cand = (
+        band_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs_bucket, batch_format="pandas")
     )
+    return dedup_pairs(cand, n_buckets=n_buckets)
+
+
+def dedup_pairs(cand, n_buckets=64):
+    """Distinct (id_a, id_b) rows via a pair-hash bucketed exchange.
+
+    Pair cardinality grows with the corpus, so the collapse must not be
+    one Ray group per pair — bucket on a hash of the pair, vectorized
+    drop_duplicates inside each bucket.
+    """
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(
+            df["id_a"].astype(str) + "\x00" + df["id_b"].astype(str), index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
     return (
-        cand.groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+        cand.map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: g.drop(columns="__b").drop_duplicates(),
+            batch_format="pandas",
+        )
     )
+
+
+def simhash_candidate_pairs(band_ds, max_hamming, n_buckets=64, cap=MAX_BUCKET_PAIRS_IDS):
+    """Bucketed SimHash candidate pairs with in-segment Hamming verify.
+
+    Same shape as :func:`candidate_pairs_from_bands` (the band-group
+    count grows with the corpus, so grouping runs on hash buckets with a
+    numpy segment loop inside), but each segment verifies pairs with an
+    XOR+popcount matrix against ``max_hamming`` before emitting; buckets
+    over ``cap`` degrade to star pairs against the min id (logged).
+    """
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        bh = df["band_hash"].to_numpy().astype(np.int64)
+        bd = df["band"].to_numpy().astype(np.int64)
+        df["__b"] = (bh * 1315423911 + bd) % n_buckets
+        return df
+
+    def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        d = bucket.drop_duplicates(["band", "band_hash", "id"]).sort_values(
+            ["band", "band_hash", "id"], kind="mergesort"
+        )
+        ids = d["id"].to_numpy()
+        sims = d["simhash"].to_numpy().astype(np.uint64)
+        bd, bh = d["band"].to_numpy(), d["band_hash"].to_numpy()
+        new = np.ones(len(d), dtype=bool)
+        if len(d):
+            new[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(d))
+        outs_a, outs_b, degraded = [], [], 0
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            u, sv = ids[s:e], sims[s:e]
+            if n > cap:
+                x = sv[0] ^ sv
+                ham = np.unpackbits(
+                    x.view(np.uint8).reshape(n, 8), axis=1
+                ).sum(axis=1, dtype=np.int64)
+                keep = (ham <= max_hamming) & (u != u[0])
+                outs_a.append(np.repeat(u[:1], int(keep.sum())))
+                outs_b.append(u[keep])
+                degraded += 1
+            else:
+                ham = hamming_matrix(sv)
+                ia, ib = np.triu_indices(n, k=1)
+                keep = ham[ia, ib] <= max_hamming
+                outs_a.append(u[ia[keep]])
+                outs_b.append(u[ib[keep]])
+        if degraded:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%d simhash buckets over %d ids degraded to star pairs",
+                degraded,
+                cap,
+            )
+        if not outs_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=str), "id_b": pd.Series([], dtype=str)}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
+
+    cand = (
+        band_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs_bucket, batch_format="pandas")
+    )
+    return dedup_pairs(cand, n_buckets=n_buckets)
 
 
 def jaccard(text_a, text_b, n=3):
@@ -302,43 +437,6 @@ def hamming_matrix(sims):
     x = s[:, None] ^ s[None, :]
     by = x.view(np.uint8).reshape(len(s), len(s), 8)
     return np.unpackbits(by, axis=2).sum(axis=2, dtype=np.int64)
-
-
-def simhash_bucket_pairs(max_hamming, cap=MAX_BUCKET_PAIRS_IDS):
-    """map_groups fn: within-bucket pairs with Hamming <= max_hamming.
-
-    Pairwise XOR + popcount over the (deduped) bucket rows; buckets over
-    ``cap`` degrade to star pairs against the min id (logged) — the same
-    blowup guard as candidate_pairs_from_bands.
-    """
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group[["id", "simhash"]].drop_duplicates().sort_values("id")
-        n = len(rows)
-        if n < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=str), "id_b": pd.Series([], dtype=str)}
-            )
-        ids = rows["id"].to_numpy()
-        sims = rows["simhash"].to_numpy()
-        if n > cap:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "simhash bucket of %d ids degraded to star pairs", n
-            )
-            x = np.uint64(sims[0]) ^ sims.astype(np.uint64)
-            ham = np.unpackbits(
-                x.view(np.uint8).reshape(n, 8), axis=1
-            ).sum(axis=1, dtype=np.int64)
-            keep = (ham <= max_hamming) & (ids != ids[0])
-            return pd.DataFrame({"id_a": np.repeat(ids[:1], keep.sum()), "id_b": ids[keep]})
-        ham = hamming_matrix(sims)
-        ia, ib = np.triu_indices(n, k=1)
-        keep = ham[ia, ib] <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
-
-    return pairs
 
 
 # --- embedding LSH (random hyperplanes) ------------------------------------

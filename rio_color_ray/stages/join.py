@@ -64,15 +64,49 @@ def broadcast_semi_filter(ds, keys, key_col):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def bucketed_hash_join(left, right, key, n_buckets=32, how="inner", suffixes=("_l", "_r")):
+def _pa_types(schema):
+    # Ray's Schema wrapper: Arrow-backed datasets carry pa.DataType,
+    # pandas-backed ones numpy dtypes — normalize to Arrow. numpy's
+    # object dtype (pandas str columns) has no direct Arrow mapping;
+    # treat it as string, the only object payload our tables carry.
+    out = {}
+    for name, typ in zip(schema.names, schema.types):
+        if isinstance(typ, pa.DataType):
+            out[name] = typ
+        elif typ is object or getattr(np.dtype(typ), "kind", None) == "O":
+            out[name] = pa.string()
+        else:
+            out[name] = pa.from_numpy_dtype(typ)
+    return out
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    key,
+    n_buckets=32,
+    how="inner",
+    suffixes=("_l", "_r"),
+    left_schema=None,
+    right_schema=None,
+):
     """Explicit partitioned hash join of two Datasets on an int64 key.
 
     Schema handling: each side's non-key columns are carried under the
     union schema with nulls for the other side; the per-bucket merge
     reconstructs the two frames and joins them vectorized.
+
+    ``left_schema`` / ``right_schema`` (ordered ``{name: pa.DataType}``)
+    skip the ``Dataset.schema()`` probe for that side. Pass them when a
+    side ends in an aggregation/exchange: schema inference executes the
+    plan up to a limit-1, and an all-to-all upstream cannot
+    short-circuit — the probe silently runs the full aggregate once
+    before the join runs it again.
     """
-    lcols = [f for f in left.schema().names if f != key]
-    rcols = [f for f in right.schema().names if f != key]
+    lschema = left_schema if left_schema is not None else _pa_types(left.schema())
+    rschema = right_schema if right_schema is not None else _pa_types(right.schema())
+    lcols = [f for f in lschema if f != key]
+    rcols = [f for f in rschema if f != key]
     overlap = set(lcols) & set(rcols)
     lmap = {c: c + suffixes[0] if c in overlap else c for c in lcols}
     rmap = {c: c + suffixes[1] if c in overlap else c for c in rcols}
@@ -93,25 +127,8 @@ def bucketed_hash_join(left, right, key, n_buckets=32, how="inner", suffixes=("_
 
         return fn
 
-    def pa_types(schema):
-        # Ray's Schema wrapper: Arrow-backed datasets carry pa.DataType,
-        # pandas-backed ones numpy dtypes — normalize to Arrow. numpy's
-        # object dtype (pandas str columns) has no direct Arrow mapping;
-        # treat it as string, the only object payload our tables carry.
-        out = {}
-        for name, typ in zip(schema.names, schema.types):
-            if isinstance(typ, pa.DataType):
-                out[name] = typ
-            elif typ is object or getattr(np.dtype(typ), "kind", None) == "O":
-                out[name] = pa.string()
-            else:
-                out[name] = pa.from_numpy_dtype(typ)
-        return out
-
-    ltypes = pa_types(left.schema())
-    rtypes = pa_types(right.schema())
-    l_other = [(rmap[c], rtypes[c]) for c in rcols]
-    r_other = [(lmap[c], ltypes[c]) for c in lcols]
+    l_other = [(rmap[c], rschema[c]) for c in rcols]
+    r_other = [(lmap[c], lschema[c]) for c in lcols]
     lt = left.map_batches(tag(0, lmap, l_other), batch_format="pyarrow")
     rt = right.map_batches(tag(1, rmap, r_other), batch_format="pyarrow")
     both = lt.union(rt)
