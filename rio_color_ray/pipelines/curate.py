@@ -142,14 +142,18 @@ def curate_corpus(sf_dir, min_quality_ppm=CURATE_MIN_QUALITY_PPM, parts=None, n_
     def partial_min(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.loc[batch.groupby("h64")["doc_id"].idxmin()]
 
-    def group_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.loc[[group["doc_id"].idxmin()]]
+    from ..stages.agg import hash_bucket_agg
 
-    deduped = (
-        filtered.map_batches(partial_min, batch_format="pandas")
-        .groupby("h64")
-        .map_groups(group_min, batch_format="pandas")
-        .drop_columns(["h64"])
+    def bucket_min(df: pd.DataFrame) -> pd.DataFrame:
+        # content-hash cardinality is corpus-sized: vectorized min per
+        # hash inside the bucket (stages/agg.py), never one Ray group
+        # per distinct text
+        return df.loc[df.groupby("h64")["doc_id"].idxmin()].drop(columns="h64")
+
+    deduped = hash_bucket_agg(
+        filtered.map_batches(partial_min, batch_format="pandas"),
+        "h64",
+        bucket_min,
     )
 
     sampled = deduped.map_batches(
@@ -205,7 +209,6 @@ def vocab_top_tokens(sf_dir, k=VOCAB_K):
     tokens, not corpus token occurrences. Final order: count desc, token
     asc (fully deterministic).
     """
-    from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
@@ -221,16 +224,17 @@ def vocab_top_tokens(sf_dir, k=VOCAB_K):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    from ..stages.agg import hash_bucket_agg
     from ..stages.topk import topk_rows
 
-    return topk_rows(
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n")),
-        ["n", "token"],
-        [True, False],
-        k,
+    # token cardinality is vocabulary-sized (millions on a real corpus):
+    # hash-bucket reduce on the string key (stages/agg.py)
+    counts = hash_bucket_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "token",
+        lambda df: df.groupby("token", as_index=False)["n"].sum(),
     )
+    return topk_rows(counts, ["n", "token"], [True, False], k)
 
 
 def vocab_top_tokens_sql(k=VOCAB_K):

@@ -16,9 +16,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Sum
-
-from ..ctx import shuffle_partitions
 from ..sources.pages import synth_pages_batch
 from ..sources.polygons import make_admin_polygons, make_admin_rects
 from ..stages.cellify import cellify_batch
@@ -88,13 +85,19 @@ def _partial_count(key):
 
 
 def grid_cell_agg(sf_dir):
-    """Pages per 0.5-deg grid cell — partial-sum then tiny shuffle."""
+    """Pages per 0.5-deg grid cell — partial-sum, then a hash-bucket
+    reduce (cell cardinality grows toward planet scale; stages/agg.py)."""
+    from ..stages.agg import hash_bucket_agg
+
     ds = cellified(sf_dir, keep_columns=["grid_cell"])
     partial = ds.map_batches(_partial_count("grid_cell"), batch_format="pandas")
-    out = partial.groupby("grid_cell", num_partitions=shuffle_partitions()).aggregate(
-        Sum("n", alias_name="n_pages")
+    return hash_bucket_agg(
+        partial,
+        "grid_cell",
+        lambda df: df.groupby("grid_cell", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_pages"}),
     )
-    return out
 
 
 def top_grid_cells(sf_dir, k=20):
@@ -142,12 +145,25 @@ def cell_agg_salted(sf_dir, key="h3_r8"):
     ds = cellified(sf_dir, keep_columns=["url", key]).map_batches(
         add_salt, batch_format="pyarrow"
     )
+    from ..stages.agg import hash_bucket_agg
+
     partial = ds.map_batches(_salted_partial(key), batch_format="pandas")
-    mid = partial.groupby([key, "salt"], num_partitions=shuffle_partitions()).aggregate(
-        Sum("n", alias_name="n_mid")
+    # stage 2 spreads a hot cell's partials over N_SALT reducer keys;
+    # both reduces run as hash-bucket aggregates (cell cardinality is
+    # planet-scale at res 8 — stages/agg.py)
+    mid = hash_bucket_agg(
+        partial,
+        "salt",
+        lambda df: df.groupby([key, "salt"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_mid"}),
     )
-    return mid.groupby(key, num_partitions=shuffle_partitions()).aggregate(
-        Sum("n_mid", alias_name="n_pages")
+    return hash_bucket_agg(
+        mid,
+        key,
+        lambda df: df.groupby(key, as_index=False)["n_mid"]
+        .sum()
+        .rename(columns={"n_mid": "n_pages"}),
     )
 
 
@@ -169,25 +185,33 @@ def cell_agg_h8(sf_dir):
         return g.rename(columns={"size": "n"})
 
     ds = cellified(sf_dir, keep_columns=["url", "lang", "h3_r8"])
-    combos = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["h3_r8", "domain", "lang"], num_partitions=shuffle_partitions())
-        .aggregate(Sum("n", alias_name="n"))
-    )
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        lh = group.groupby("lang")["n"].sum().sort_index()
-        return pd.DataFrame(
-            {
-                "h3_r8": [group["h3_r8"].iloc[0]],
-                "n_pages": [int(group["n"].sum())],
-                "n_domains": [int(group["domain"].nunique())],
-                "lang_hist": ["|".join(f"{k}:{v}" for k, v in lh.items())],
-            }
+    def combos_and_final(df: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a cell are co-located in this bucket: collapse
+        # to TRUE distinct (cell, domain, lang) combos, then build every
+        # cell's aggregate vectorized — one exchange, no per-cell Python
+        d = df.groupby(["h3_r8", "domain", "lang"], as_index=False)["n"].sum()
+        lh = (
+            d.groupby(["h3_r8", "lang"], as_index=False)["n"]
+            .sum()
+            .sort_values(["h3_r8", "lang"], kind="mergesort")
         )
+        kv = lh["lang"] + ":" + lh["n"].astype(str)
+        hist = kv.groupby(lh["h3_r8"].to_numpy()).agg("|".join)
+        base = d.groupby("h3_r8").agg(
+            n_pages=("n", "sum"), n_domains=("domain", "nunique")
+        )
+        out = base.join(hist.rename("lang_hist")).reset_index(
+            names="h3_r8"
+        )
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        out["n_domains"] = out["n_domains"].astype(np.int64)
+        return out[["h3_r8", "n_pages", "n_domains", "lang_hist"]]
 
-    return combos.groupby("h3_r8", num_partitions=shuffle_partitions()).map_groups(
-        final, batch_format="pandas"
+    from ..stages.agg import hash_bucket_agg
+
+    return hash_bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"), "h3_r8", combos_and_final
     )
 
 
@@ -213,8 +237,14 @@ def cell_agg_s2(sf_dir):
     """Pages per S2-style quadsphere cell (Hilbert ids). Oracle-checked
     against the generated SQL twin ``spatial.s2.s2_cell_sql`` (the same
     projection chain + unrolled Hilbert bit walk in DuckDB)."""
+    from ..stages.agg import hash_bucket_agg
+
     ds = cellified(sf_dir, keep_columns=["s2_cell"])
     partial = ds.map_batches(_partial_count("s2_cell"), batch_format="pandas")
-    return partial.groupby("s2_cell", num_partitions=shuffle_partitions()).aggregate(
-        Sum("n", alias_name="n_pages")
+    return hash_bucket_agg(
+        partial,
+        "s2_cell",
+        lambda df: df.groupby("s2_cell", as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_pages"}),
     )

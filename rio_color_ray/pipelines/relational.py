@@ -508,38 +508,51 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
 def sessionize(sf_dir):
     """Gap-based session windows per user (classic streaming op).
 
-    Shuffle key = user_id (``groupby.map_groups``); inside each group a
-    vectorized sort + diff + cumsum splits sessions at >30min gaps.
-    Output: one row per session with start/end/n_events/value_cents.
+    Shuffle key = hash bucket of user_id (stages/agg.py); inside each
+    bucket ONE vectorized pass over all users: sort by (user, ts),
+    session breaks at user boundaries or >30min gaps, session ids via a
+    cumsum rebased per user segment (cumsum decomposes), then one pandas
+    groupby((user, sid)).agg — no per-user Python. Output: one row per
+    session with start/end/n_events/value_cents.
     """
+    from ..stages.agg import hash_bucket_agg
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
+    def sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
-        new_session = np.ones(len(ts), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
-        sid = np.cumsum(new_session)  # 1-based session index per user
-        df = pd.DataFrame(
-            {"sid": sid, "ts": ts, "cents": cents}
-        )
-        agg = df.groupby("sid").agg(
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        new_session = new_user.copy()
+        new_session[1:] |= (ts[1:] - ts[:-1]) > SESSION_GAP_US
+        cum = np.cumsum(new_session)
+        starts = np.flatnonzero(new_user)
+        seg_len = np.diff(np.append(starts, len(g)))
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        sid = cum - np.repeat(base, seg_len)  # 1-based per user
+        df = pd.DataFrame({"user_id": u, "sid": sid, "ts": ts, "cents": cents})
+        agg = df.groupby(["user_id", "sid"], as_index=False).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "size"),
             value_cents=("cents", "sum"),
         )
-        out = agg.reset_index()
-        out["user_id"] = g["user_id"].iloc[0]
-        out["session_id"] = out.pop("sid").astype(np.int64)
-        out["session_start"] = out["session_start"].astype("datetime64[us]")
-        out["session_end"] = out["session_end"].astype("datetime64[us]")
-        return out[
-            ["user_id", "session_id", "session_start", "session_end", "n_events", "value_cents"]
-        ]
+        out = pd.DataFrame(
+            {
+                "user_id": agg["user_id"],
+                "session_id": agg["sid"].astype(np.int64),
+                "session_start": agg["session_start"].astype("datetime64[us]"),
+                "session_end": agg["session_end"].astype("datetime64[us]"),
+                "n_events": agg["n_events"],
+                "value_cents": agg["value_cents"],
+            }
+        )
+        return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return hash_bucket_agg(ds, "user_id", sessions)
 
 
 SESSIONIZE_SQL = """
@@ -626,13 +639,16 @@ def asof_join_clicks(sf_dir):
     """For every purchase, the latest click by the same user at-or-before
     the purchase (ordered by (ts, event_id) — fully deterministic ties).
 
-    Ray-Data-first shape: ONE shuffle on user_id (`groupby.map_groups`),
-    then a vectorized in-group as-of: sort the user's merged click+purchase
-    stream once, forward-fill the last-click index with
-    np.maximum.accumulate, gather. No pandas merge_asof per pair of
-    frames, no driver collection. At 10^12 rows the user_id shuffle is
-    the same exchange sessionize already pays; groups are per-user sized.
+    Ray-Data-first shape: ONE shuffle on hash buckets of user_id
+    (stages/agg.py), then a vectorized whole-bucket as-of: sort the
+    merged click+purchase stream by (user, ts) once, forward-fill the
+    last-click row index with a pandas Cython groupby.cummax over user
+    segments, gather. No pandas merge_asof per pair of frames, no
+    per-user Python, no driver collection. At 10^12 rows the user
+    exchange is the same one sessionize pays.
     """
+    from ..stages.agg import hash_bucket_agg
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     ds = ds.map_batches(
         lambda b: b.filter(
@@ -641,21 +657,21 @@ def asof_join_clicks(sf_dir):
         batch_format="pyarrow",
     )
 
-    def asof(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+    def asof(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         eid = g["event_id"].to_numpy()
         is_click = (g["event_type"] == "click").to_numpy()
-        # index of the most recent click at-or-before each position
+        # index of the most recent same-user click at-or-before each row
         idx = np.where(is_click, np.arange(len(g)), -1)
-        last_click = np.maximum.accumulate(idx)
-        is_purchase = ~is_click
-        take = is_purchase & (last_click >= 0)
+        last_click = pd.Series(idx).groupby(u).cummax().to_numpy()
+        take = ~is_click & (last_click >= 0)
         src = last_click[take]
         return pd.DataFrame(
             {
                 "event_id": eid[take],
-                "user_id": g["user_id"].to_numpy()[take],
+                "user_id": u[take],
                 "purchase_ts": ts[take].astype("datetime64[us]"),
                 "click_event_id": eid[src],
                 "click_ts": ts[src].astype("datetime64[us]"),
@@ -663,7 +679,7 @@ def asof_join_clicks(sf_dir):
             }
         )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return hash_bucket_agg(ds, "user_id", asof)
 
 
 ASOF_SQL = """
@@ -1020,14 +1036,17 @@ def range_join_clicks(sf_dir, window_us=RANGE_JOIN_WINDOW_US):
     ``[ts - window, ts)``.
 
     Ray Data has no interval join; the scale-sane composition is ONE
-    shuffle on user_id (the natural partitioning key — intervals never
-    cross users) and a vectorized in-group range count: sort the user's
-    clicks once, then two np.searchsorted calls give every purchase's
-    [lo, hi) click window. Groups are per-user sized; the exchange moves
-    only (user_id, ts, event_id, type) — no pairwise expansion ever
-    materializes, unlike the naive theta-join which is O(clicks x
-    purchases) per user.
+    shuffle on hash buckets of user_id (the natural partitioning key —
+    intervals never cross users; stages/agg.py) and an in-bucket range
+    count: per user segment, the sorted click array + two np.searchsorted
+    calls give every purchase's [lo, hi) click window (numpy slicing per
+    segment costs ~us, vs the ~0.6 ms/group of one Ray group per user).
+    The exchange moves only (user_id, ts, event_id, type) — no pairwise
+    expansion ever materializes, unlike the naive theta-join which is
+    O(clicks x purchases) per user.
     """
+    from ..stages.agg import hash_bucket_agg
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
     ds = ds.map_batches(
         lambda b: b.filter(
@@ -1036,24 +1055,47 @@ def range_join_clicks(sf_dir, window_us=RANGE_JOIN_WINDOW_US):
         batch_format="pyarrow",
     )
 
-    def count_range(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        is_click = (group["event_type"] == "click").to_numpy()
-        click_ts = np.sort(ts[is_click])
-        pmask = ~is_click
-        pts = ts[pmask]
-        lo = np.searchsorted(click_ts, pts - window_us, side="left")
-        hi = np.searchsorted(click_ts, pts, side="left")
-        return pd.DataFrame(
-            {
-                "event_id": group["event_id"].to_numpy()[pmask],
-                "user_id": group["user_id"].to_numpy()[pmask],
-                "ts": pts.astype("datetime64[us]"),
-                "n_clicks_1h": (hi - lo).astype(np.int64),
-            }
-        )
+    def count_range(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        is_click = (g["event_type"] == "click").to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g):
+            new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        frames = []
+        for s, e in zip(starts, ends):
+            seg_click = is_click[s:e]
+            click_ts = ts[s:e][seg_click]  # already ts-sorted
+            pmask = ~seg_click
+            pts = ts[s:e][pmask]
+            lo = np.searchsorted(click_ts, pts - window_us, side="left")
+            hi = np.searchsorted(click_ts, pts, side="left")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": eid[s:e][pmask],
+                        "user_id": u[s:e][pmask],
+                        "ts": pts.astype("datetime64[us]"),
+                        "n_clicks_1h": (hi - lo).astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "n_clicks_1h": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    return ds.groupby("user_id").map_groups(count_range, batch_format="pandas")
+    return hash_bucket_agg(ds, "user_id", count_range)
 
 
 RANGE_JOIN_SQL = f"""
@@ -1145,24 +1187,34 @@ GROUP BY c.c_custkey, c.c_name
 def event_gaps(sf_dir):
     """(event_id, user_id, gap_us) for every event with a predecessor.
 
-    The lag window over (user_id ORDER BY ts, event_id) as one user_id
-    shuffle + a vectorized in-group diff — the same exchange sessionize
-    pays, reused; no per-row Python.
+    The lag window over (user_id ORDER BY ts, event_id) as one
+    user-bucketed shuffle (stages/agg.py — user cardinality grows with
+    the data, so the reduce must not be one Ray group per user) + a
+    vectorized whole-bucket diff with boundary masking; no per-row or
+    per-user Python.
     """
+    from ..stages.agg import hash_bucket_agg
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def gaps(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+    def gaps(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        if len(g) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy()[1:],
-                "user_id": g["user_id"].to_numpy()[1:],
-                "gap_us": np.diff(ts),
+                "event_id": g["event_id"].to_numpy()[same],
+                "user_id": u[same],
+                "gap_us": gap[same],
             }
         )
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return hash_bucket_agg(ds, "user_id", gaps)
 
 
 EVENT_GAPS_SQL = """
@@ -1294,33 +1346,38 @@ def late_events(sf_dir):
     An event is late by ``lateness_us`` if its event time precedes the
     running max event time of the user's earlier-arriving events, where
     arrival order is the deterministic jittered sequence above (real
-    deployments pass an ingestion-sequence column instead). One user_id
-    shuffle + a vectorized running max (np.maximum.accumulate) per
-    group — the same exchange sessionize pays.
+    deployments pass an ingestion-sequence column instead). One
+    user-bucketed shuffle (stages/agg.py) + a whole-bucket running max
+    (pandas Cython groupby.cummax over user segments) — no per-user
+    Python.
     """
+    from ..stages.agg import hash_bucket_agg
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def late(group: pd.DataFrame) -> pd.DataFrame:
-        eid = group["event_id"].to_numpy()
+    def late(bucket: pd.DataFrame) -> pd.DataFrame:
+        eid = bucket["event_id"].to_numpy()
+        u = bucket["user_id"].to_numpy()
         arrival = eid + (eid * _ARRIVAL_KNUTH) % _ARRIVAL_JITTER
-        order = np.lexsort((eid, arrival))
-        ts = (
-            group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[order]
-        )
+        order = np.lexsort((eid, arrival, u))
+        eid, u = eid[order], u[order]
+        ts = bucket["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[order]
+        cummax = pd.Series(ts).groupby(u).cummax().to_numpy()
         run_max_prev = np.empty(len(ts), dtype=np.int64)
-        run_max_prev[0] = np.iinfo(np.int64).min
-        if len(ts) > 1:
-            run_max_prev[1:] = np.maximum.accumulate(ts)[:-1]
+        if len(ts):
+            run_max_prev[0] = np.iinfo(np.int64).min
+            same = u[1:] == u[:-1]
+            run_max_prev[1:] = np.where(same, cummax[:-1], np.iinfo(np.int64).min)
         is_late = ts < run_max_prev
         return pd.DataFrame(
             {
-                "event_id": eid[order][is_late],
-                "user_id": group["user_id"].to_numpy()[order][is_late],
+                "event_id": eid[is_late],
+                "user_id": u[is_late],
                 "lateness_us": (run_max_prev - ts)[is_late],
             }
         )
 
-    return ds.groupby("user_id").map_groups(late, batch_format="pandas")
+    return hash_bucket_agg(ds, "user_id", late)
 
 
 LATE_EVENTS_SQL = f"""
@@ -1432,24 +1489,35 @@ def user_running_value(sf_dir):
     """(event_id, user_id, cum_value_cents): each user's running total of
     event value in exact integer cents, ordered by (ts, event_id).
 
-    One user_id exchange + a vectorized np.cumsum per group — the same
-    shuffle sessionize/event_gaps pay. Integer cents keep the running
-    sum order-independent and bit-exact vs the SQL window twin.
+    One user-bucketed exchange (stages/agg.py) + a whole-bucket cumsum
+    rebased per user segment (cumsum decomposes: global running sum
+    minus the segment-start base) — no per-user Python. Integer cents
+    keep the running sum order-independent and bit-exact vs the SQL
+    window twin.
     """
+    from ..stages.agg import hash_bucket_agg
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def running(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+    def running(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
         cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        cum = np.cumsum(cents)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.append(starts, len(g)))
+        base = np.where(starts > 0, cum[starts - 1], 0)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "cum_value_cents": np.cumsum(cents),
+                "user_id": u,
+                "cum_value_cents": cum - np.repeat(base, seg_len),
             }
         )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return hash_bucket_agg(ds, "user_id", running)
 
 
 USER_RUNNING_VALUE_SQL = """

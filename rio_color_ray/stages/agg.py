@@ -36,9 +36,13 @@ def hash_bucket_agg(ds, key, agg_fn, n_buckets=64):
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["__b"] = (df[key].to_numpy().astype(np.int64) % n_buckets).astype(
-            np.int64
-        )
+        k = df[key]
+        if pd.api.types.is_integer_dtype(k):
+            b = k.to_numpy().astype(np.int64) % n_buckets
+        else:  # string keys: deterministic 64-bit hash, fixed pandas key
+            h = pd.util.hash_pandas_object(k, index=False).to_numpy()
+            b = (h % np.uint64(n_buckets)).astype(np.int64)
+        df["__b"] = b
         return df
 
     def per_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
