@@ -11,7 +11,7 @@ import pyarrow as pa
 import ray.data
 
 from ..sources.pages import REP_STRIDE
-from ..stages.ann import AnnBruteStage, ann_topk_reduce
+from ..stages.ann import AnnBruteStage, ann_topk_reduce, list_col_to_matrix
 from ..stages.dedup import (
     EmbeddingLSHStage,
     MinHashStage,
@@ -216,7 +216,7 @@ def near_dup_pairs_jaccard(sf_dir, replicate=2, threshold=0.8):
         """Each doc's K smallest DISTINCT shingle hashes as candidate keys
         — one lexsort over (doc, gram), a first-occurrence mask, and a
         per-segment rank; no per-document loop."""
-        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+        urls = batch.column("url").to_pandas().to_numpy()
         texts = batch.column("text").to_pylist()
         grams, gcounts = shingle_hash_arrays(texts)
         seg = np.repeat(np.arange(len(texts)), gcounts)
@@ -348,7 +348,7 @@ def embeddings_replicated(sf_dir, replicate=1):
 
     def expand(batch: pa.Table) -> pa.Table:
         vid = batch.column("vec_id").to_numpy()
-        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        vecs = list_col_to_matrix(batch.column("embedding"))
         out = []
         for r in range(replicate):
             if r == 0:
@@ -659,7 +659,7 @@ def label_centroids(sf_dir):
                     "n": pa.array([], pa.int64()),
                 }
             )
-        vecs = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        vecs = list_col_to_matrix(batch.column("embedding"))
         q = np.floor(vecs * _CENTROID_Q).astype(np.int64)  # (rows, dim)
         labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(labels, return_inverse=True)

@@ -27,7 +27,7 @@ def _query_side(sf_dir, n_queries):
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
     doc_id = t.column("doc_id").to_numpy()
-    source = np.asarray(t.column("source").to_pylist())
+    source = t.column("source").to_pandas().to_numpy()
     sel = doc_id < n_queries
     doc_id, source = doc_id[sel], source[sel]
     order = np.argsort(doc_id)

@@ -76,8 +76,8 @@ def q1_pricing_summary(sf_dir):
         tax_pct = np.rint(batch.column("l_tax").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         df = pd.DataFrame(
             {
-                "l_returnflag": batch.column("l_returnflag").to_pylist(),
-                "l_linestatus": batch.column("l_linestatus").to_pylist(),
+                "l_returnflag": batch.column("l_returnflag").to_pandas().to_numpy(),
+                "l_linestatus": batch.column("l_linestatus").to_pandas().to_numpy(),
                 "sum_qty": qty,
                 "sum_base_price_cents": price_c,
                 "sum_disc_price_micros": price_c * (100 - disc_pct),
@@ -276,7 +276,7 @@ def events_daily(sf_dir):
         df = pd.DataFrame(
             {
                 "day": day.to_pandas(),
-                "event_type": batch.column("event_type").to_pylist(),
+                "event_type": batch.column("event_type").to_pandas().to_numpy(),
                 "n_events": 1,
                 "value_cents": cents,
             }
@@ -464,7 +464,7 @@ def events_sliding_window(sf_dir):
     def partial(batch: pa.Table) -> pd.DataFrame:
         ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         cents = _int_cents(batch.column("value"))
-        etype = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        etype = batch.column("event_type").to_pandas().to_numpy()
         w1 = (ts // SLIDE_US) * SLIDE_US  # latest window containing ts
         rows = {
             "window_start": np.concatenate([w1, w1 - SLIDE_US]),

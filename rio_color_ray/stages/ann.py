@@ -15,6 +15,21 @@ import pandas as pd
 import pyarrow as pa
 
 
+def list_col_to_matrix(col, dtype=np.float64):
+    """(n, d) matrix from a fixed-length list column, no Python lists.
+
+    Arrow ``flatten()`` + one numpy reshape — measured 66x faster than
+    ``np.stack(col.to_pylist())`` on the embeddings table and
+    bit-identical (BASELINE.md).
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    if n and flat.size % n:
+        raise ValueError("list_col_to_matrix: ragged list column")
+    return flat.reshape(n, -1)
+
+
 class AnnBruteStage:
     """map_batches actor: per-batch cosine top-k against broadcast queries."""
 
@@ -28,7 +43,7 @@ class AnnBruteStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
-        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        vecs = list_col_to_matrix(batch.column(self.vec_col))
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         scores = vecs @ self.q.T  # (batch, queries)
 
@@ -126,7 +141,7 @@ class AnnIVFStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy()
-        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        vecs = list_col_to_matrix(batch.column(self.vec_col))
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         cell = np.argmax(vecs @ self.cent.T, axis=1)  # (batch,)
         # query q scores row r iff cell[r] in probes[q]

@@ -23,7 +23,7 @@ def content_hash_batch(key_col, id_col):
     """map_batches fn factory: (id, h64) rows, one per input row."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch.column(key_col).to_pylist(), dtype=object)
+        vals = batch.column(key_col).to_pandas().to_numpy()
         h = pd.util.hash_array(vals).astype(np.int64)
         return pa.table({id_col: batch.column(id_col), "h64": pa.array(h, pa.int64())})
 
@@ -182,7 +182,7 @@ class MinHashStage:
             bh = bh * _BAND_P + sig[:, :, c]
         return pa.table(
             {
-                "id": pa.array(np.repeat(np.asarray(ids.to_pylist(), dtype=object), N_BANDS)),
+                "id": pa.array(np.repeat(ids.to_pandas().to_numpy(), N_BANDS)),
                 "band": pa.array(np.tile(np.arange(N_BANDS), len(texts)), pa.int64()),
                 "band_hash": pa.array(
                     (bh % np.uint64(1 << 63)).astype(np.int64).ravel(), pa.int64()
@@ -390,7 +390,7 @@ def simhash_batch(id_col="doc_id", text_col="text"):
     from .text import token_hashes
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=object)
+        ids = batch.column(id_col).to_pandas().to_numpy()
         texts = batch.column(text_col).to_pylist()
         token_lists = [t.split() for t in texts]
         counts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
@@ -471,7 +471,9 @@ class EmbeddingLSHStage:
         self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(np.float64)
+        from .ann import list_col_to_matrix
+
+        vecs = list_col_to_matrix(batch.column(self.vec_col))
         n = len(vecs)
         ids = batch.column(self.id_col)
         out = []

@@ -51,7 +51,7 @@ class KNNBruteStage:
         self.url_to_qid = {u: i for i, u in enumerate(self.qurl)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = np.asarray(batch.column("url").to_pylist())
+        urls = batch.column("url").to_pandas().to_numpy()
         plat = np.rint(batch.column("lat").to_numpy() * 1e6).astype(np.int64)
         plon = np.rint(batch.column("lon").to_numpy() * 1e6).astype(np.int64)
 

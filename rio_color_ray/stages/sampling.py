@@ -111,7 +111,7 @@ def stratified_filter_batch(rates_ppm, stratum_col, id_col="doc_id", default_ppm
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        strata = batch.column(stratum_col).to_pylist()
+        strata = batch.column(stratum_col).to_pandas().to_numpy()
         rate = np.asarray([rates_ppm.get(s, default_ppm) for s in strata], np.int64)
         u = (splitmix64(ids ^ STRATA_SALT) % np.uint64(1_000_000)).astype(np.int64)
         return batch.filter(pa.array(u < rate))
