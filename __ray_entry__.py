@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_late_shipments": relational.q4_late_shipments,
         "user_running_value": relational.user_running_value,
         "approx_distinct_users_kmv": relational.approx_distinct_users_kmv,
+        "events_rollup": relational.events_rollup,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_late_shipments": R.Q4_SQL,
         "user_running_value": R.USER_RUNNING_VALUE_SQL,
         "approx_distinct_users_kmv": R.approx_distinct_users_kmv_sql(),
+        "events_rollup": R.ROLLUP_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "

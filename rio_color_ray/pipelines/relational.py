@@ -1615,3 +1615,79 @@ SELECT event_type,
 FROM ranked
 WHERE r = CASE WHEN c < {int(k)} THEN c ELSE {int(k)} END
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: day x event_type counts with per-day subtotals + grand total.
+# ---------------------------------------------------------------------------
+
+
+def events_rollup(sf_dir):
+    """GROUP BY ROLLUP(day, event_type) over the event stream: detail
+    rows, per-day subtotals, and the grand total, with 'ALL' sentinels
+    instead of SQL's rollup NULLs (strings hash/compare cleanly).
+
+    The detail aggregate is bounded (days x 5 types), so Ray's native
+    groupby is fine; the two rollup levels are derived FROM the detail
+    result (tiny) — the raw stream is read once.
+    """
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "day": batch["ts"]
+                .to_numpy()
+                .astype("datetime64[D]")
+                .astype("datetime64[us]"),
+                "event_type": batch["event_type"],
+            }
+        )
+        out = b.groupby(["day", "event_type"], as_index=False).size()
+        out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+        return out.rename(columns={"size": "n"})
+
+    detail = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    sub = (
+        detail.groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda df: df.assign(event_type="ALL"), batch_format="pandas"
+        )
+    )
+    grand = (
+        detail.map_batches(
+            lambda df: df.assign(__g=np.int64(0)), batch_format="pandas"
+        )
+        .groupby("__g")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"day": ["ALL"], "event_type": ["ALL"], "n": df["n"]}
+            ),
+            batch_format="pandas",
+        )
+    )
+    cols = ["day", "event_type", "n"]
+    reorder = lambda df: df[cols]  # noqa: E731 - tiny projection
+    return (
+        detail.map_batches(reorder, batch_format="pandas")
+        .union(sub.map_batches(reorder, batch_format="pandas"))
+        .union(grand)
+    )
+
+
+ROLLUP_SQL = """
+WITH base AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type
+  FROM events
+)
+SELECT COALESCE(day, 'ALL') AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM base GROUP BY ROLLUP (day, event_type)
+"""

@@ -441,3 +441,11 @@ def test_kmv_sketch_branch_estimates(ray_session, con):
     )
     assert (out["n"] > 8).any()  # sketch branch actually exercised
     assert (abs(out["n_users_approx"] - out["n"]) <= out["n"]).all()
+
+
+def test_events_rollup(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.events_rollup(SF), con, R.ROLLUP_SQL)
+    grand = out[(out["day"] == "ALL") & (out["event_type"] == "ALL")]
+    assert grand["n"].iloc[0] == out[out["event_type"] != "ALL"]["n"].sum()
