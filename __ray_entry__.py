@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": relational.user_running_value,
         "approx_distinct_users_kmv": relational.approx_distinct_users_kmv,
         "events_rollup": relational.events_rollup,
+        "users_click_no_purchase": relational.users_click_no_purchase,
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "user_running_value": R.USER_RUNNING_VALUE_SQL,
         "approx_distinct_users_kmv": R.approx_distinct_users_kmv_sql(),
         "events_rollup": R.ROLLUP_SQL,
+        "users_click_no_purchase": R.EXCEPT_SQL,
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "

@@ -1691,3 +1691,52 @@ SELECT COALESCE(day, 'ALL') AS day,
        CAST(count(*) AS BIGINT) AS n
 FROM base GROUP BY ROLLUP (day, event_type)
 """
+
+
+EXCEPT_VALUE_CUTOFF = 90
+
+
+def users_click_no_purchase(sf_dir, cutoff=EXCEPT_VALUE_CUTOFF):
+    """user_ids who clicked but never made a high-value purchase
+    (value > cutoff) — distributed EXCEPT.
+
+    Same single user-bucketed exchange as the INTERSECT twin
+    (users_click_and_purchase): each side collapses to distinct
+    (user, side) rows per batch, a user's rows are complete within
+    their bucket, and the set difference runs there vectorized.
+    """
+    from ..stages.agg import hash_bucket_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def sides(batch: pd.DataFrame) -> pd.DataFrame:
+        is_a = (batch["event_type"] == "click").to_numpy()
+        is_b = (
+            (batch["event_type"] == "purchase") & (batch["value"] > cutoff)
+        ).to_numpy()
+        out = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy()[is_a | is_b],
+                "side": np.where(is_a[is_a | is_b], 0, 1).astype(np.int8),
+            }
+        )
+        return out.drop_duplicates()
+
+    def except_filter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        a = d.loc[d["side"] == 0, "user_id"]
+        b = d.loc[d["side"] == 1, "user_id"]
+        keep = a[~a.isin(b)].to_numpy()
+        return pd.DataFrame({"user_id": np.sort(keep)})
+
+    return hash_bucket_agg(
+        ds.map_batches(sides, batch_format="pandas"), "user_id", except_filter
+    )
+
+
+EXCEPT_SQL = f"""
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > {EXCEPT_VALUE_CUTOFF}
+"""

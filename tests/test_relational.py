@@ -449,3 +449,16 @@ def test_events_rollup(ray_session, con):
     out = _check(R.events_rollup(SF), con, R.ROLLUP_SQL)
     grand = out[(out["day"] == "ALL") & (out["event_type"] == "ALL")]
     assert grand["n"].iloc[0] == out[out["event_type"] != "ALL"]["n"].sum()
+
+
+def test_users_click_no_purchase(ray_session, con):
+    from rio_color_ray.pipelines import relational as R
+
+    out = _check(R.users_click_no_purchase(SF), con, R.EXCEPT_SQL)
+    assert len(out) > 0  # non-trivial at this SF by construction
+    # no user in the result has a qualifying purchase
+    bad = con.sql(
+        f"SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' "
+        f"AND value > {R.EXCEPT_VALUE_CUTOFF}"
+    ).df()
+    assert not out["user_id"].isin(bad["user_id"]).any()
