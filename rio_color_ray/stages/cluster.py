@@ -58,17 +58,29 @@ def min_label_components(
 
         return add
 
-    def _spread_min(group_col):
-        """Within each hash bucket, broadcast the per-group min label and
-        count how many rows changed (vectorized; one pandas groupby)."""
+    def _spread_min(group_col, other_col):
+        """Within each hash bucket, propagate min labels to LOCAL
+        convergence: alternate per-group min over ``group_col`` and
+        ``other_col`` until the bucket's sub-graph is stable. Labels only
+        ever decrease and are bounded below by the component min, so
+        propagating over the partial sub-graph present in the bucket is
+        always safe — it just collapses any chain resident in one bucket
+        in a single GLOBAL iteration instead of one hop per iteration.
+        ``__changed`` counts rows whose label decreased vs bucket entry
+        (the global convergence signal)."""
 
         def fn(bucket: pd.DataFrame) -> pd.DataFrame:
-            new = bucket.groupby(group_col)["label"].transform("min")
             out = bucket.copy()
-            out["__changed"] = (
-                (new.to_numpy() != bucket["label"].to_numpy()).astype(np.int64)
-            )
-            out["label"] = new.to_numpy()
+            before = out["label"].to_numpy().copy()
+            while True:
+                lab = out.groupby(group_col)["label"].transform("min").to_numpy()
+                out["label"] = lab
+                lab2 = out.groupby(other_col)["label"].transform("min").to_numpy()
+                stable = (lab2 == lab).all()
+                out["label"] = lab2
+                if stable:
+                    break
+            out["__changed"] = (out["label"].to_numpy() != before).astype(np.int64)
             return out
 
         return fn
@@ -77,13 +89,22 @@ def min_label_components(
         lambda df: df.assign(label=df[node_col].to_numpy()),
         batch_format="pandas",
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         ds = ds.map_batches(_bucket_of(key_col), batch_format="pandas")
-        ds = ds.groupby("__b").map_groups(_spread_min(key_col), batch_format="pandas")
+        ds = ds.groupby("__b").map_groups(
+            _spread_min(key_col, node_col), batch_format="pandas"
+        )
         ds = ds.map_batches(_bucket_of(node_col), batch_format="pandas")
-        ds = ds.groupby("__b").map_groups(_spread_min(node_col), batch_format="pandas")
+        ds = ds.groupby("__b").map_groups(
+            _spread_min(node_col, key_col), batch_format="pandas"
+        )
         ds = ds.drop_columns(["__b"]).materialize()
         if ds.sum("__changed") == 0:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "min_label_components: converged after %d iterations", it + 1
+            )
             break
     else:
         raise RuntimeError(
