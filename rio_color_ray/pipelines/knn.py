@@ -10,7 +10,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..sources.pages import page_coords_microdeg
-from ..spatial import hex_cell, hex_disk, hex_edge_deg
+from ..spatial import hex_cell, hex_disk
 from ..stages.knn import KNNBruteStage, knn_guarantee_radius, topk_per_query
 from .geo import cellified
 

@@ -24,7 +24,6 @@ Tile identity is the (z, x, y) triple — never row order.
 """
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..ctx import shuffle_partitions

@@ -7,7 +7,7 @@ float rounding hazards. Token counting is a single vectorized RE2 kernel
 """
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
