@@ -121,7 +121,12 @@ def knn_cells(sf_dir, k=5, n_queries=100, res=6, radius=2, max_rounds=4):
             }
         )
 
-    cell_pts = pts.map_batches(add_cell, batch_format="pyarrow")
+    # pin the cellified points: every escalation round re-scans them, and
+    # without this the whole read+cellify re-executes per round. The
+    # pinned set is (cell, bucket, url, lat_u, lon_u) — a fraction of the
+    # corpus; at cluster scale the object store spills it rather than
+    # re-reading storage each round (a deliberate trade documented here).
+    cell_pts = pts.map_batches(add_cell, batch_format="pyarrow").materialize()
 
     remaining = np.arange(len(doc_id))
     results = []
