@@ -256,5 +256,56 @@ def curate_cmd(sf_dir, out_dir, n_parts, min_quality_ppm, max_partitions):
     click.echo(json.dumps(summary))
 
 
+@engine.command("query")
+@click.option("--list", "list_names", is_flag=True, help="List query names and exit")
+@click.argument("name", required=False)
+@click.argument("sf_dir", required=False, type=click.Path(exists=True))
+@click.argument("dst_path", required=False, type=click.Path(exists=False))
+def query(list_names, name, sf_dir, dst_path):
+    """Run any named pipeline from the registry over SF_DIR.
+
+    Writes the result as Parquet to DST_PATH (streaming write for
+    Dataset results); with no DST_PATH, prints up to 20 rows. Every
+    operator the engine implements is runnable from here — the CLI
+    analog of the reference's `rio color` per-operator surface.
+    """
+    from .registry import queries
+
+    reg = queries()
+    if list_names:
+        for n in sorted(reg):
+            click.echo(n)
+        return
+    if name not in reg:
+        raise click.UsageError(
+            f"unknown query {name!r} (use --list to see the {len(reg)} names)"
+        )
+    if not sf_dir:
+        raise click.UsageError("SF_DIR is required")
+    import pandas as pd
+
+    ray = _ensure_ray()
+    res = reg[name](sf_dir)
+    import ray.data as rd
+
+    if dst_path:
+        if isinstance(res, rd.Dataset):
+            res.write_parquet(dst_path)
+        else:
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+            import os
+
+            os.makedirs(dst_path, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(res, preserve_index=False),
+                os.path.join(dst_path, "part-0.parquet"),
+            )
+        click.echo(f"wrote {dst_path}")
+    else:
+        df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+        click.echo(df.head(20).to_string())
+
+
 if __name__ == "__main__":
     engine()

@@ -224,3 +224,38 @@ def test_curate_cli_run_and_resume(ray_session, tmp_path):
     )
     s2 = last_json(r2.output)
     assert s2["completed_before"] == 4 and s2["written_now"] == 0
+
+
+def test_query_cli_runs_registry_entry(ray_session, tmp_path):
+    """engine query NAME SF_DIR DST writes the same rows the library
+    API returns; --list covers the whole registry; unknown names fail."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rio_color_ray.cli import engine
+    from rio_color_ray.registry import queries
+
+    runner = CliRunner()
+    res = runner.invoke(engine, ["query", "--list"])
+    assert res.exit_code == 0
+    assert set(res.output.split()) == set(queries())
+
+    out = tmp_path / "q6"
+    res = runner.invoke(
+        engine, ["query", "q6_forecast_revenue", "/root/testdata/sf0.001", str(out)]
+    )
+    assert res.exit_code == 0, res.output
+    got = pq.read_table(str(out)).to_pandas()
+    from rio_color_ray.pipelines.relational import Q6_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    exp = con.sql(Q6_SQL).df()
+    assert len(got) == 1 and got.columns.tolist() == ["revenue_micros"]
+    assert int(got["revenue_micros"].iloc[0]) == int(exp["revenue_micros"].iloc[0])
+
+    res = runner.invoke(engine, ["query", "no_such_query", "/root/testdata/sf0.001"])
+    assert res.exit_code != 0
