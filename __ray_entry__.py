@@ -239,4 +239,5 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": curate.curate_corpus_sql(),
         "vocab_top_tokens": curate.vocab_top_tokens_sql(),
         "tfidf_top_terms": curate.tfidf_top_terms_sql(),
+        "pack_sequences": curate.pack_sequences_sql(),
     }

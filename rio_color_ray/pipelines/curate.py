@@ -418,3 +418,104 @@ SELECT doc_id, token, score_ppm FROM (
   FROM scored
 ) WHERE r <= {int(m)}
 """
+
+
+# --- sequence packing (concat-and-chunk into fixed token budgets) -------------
+
+PACK_BUDGET = 512
+PACK_PARTS = 32
+
+
+def pack_sequences(sf_dir, budget=PACK_BUDGET, n_parts=PACK_PARTS):
+    """Assign every document its position in the packed training stream:
+    documents are concatenated in doc_id order and chunked into packs of
+    ``budget`` tokens (the standard pretraining concat-and-chunk).
+    Returns (doc_id, n_tokens, pack_id, pack_offset).
+
+    The core primitive is a distributed ORDERED PREFIX SUM over doc_id
+    order, built in two passes without any sequential bottleneck:
+
+    1. doc_id range from Parquet row-group statistics (metadata only, no
+       scan), split into ``n_parts`` contiguous ranges;
+    2. pass 1: per-range token totals (per-batch partials -> ``n_parts``
+       rows to the driver -> exclusive scan -> broadcast);
+    3. pass 2: each range sorts its own docs and adds its base offset —
+       every doc's global stream offset, with no cross-range exchange.
+
+    Token counting runs in both passes (vectorized RE2); re-scanning
+    beats pinning a doc-level table at corpus scale.
+    """
+    import pyarrow.parquet as pq
+
+    from ..stages.text import token_count_batch
+
+    f = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    los, his = [], []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(0).statistics
+        los.append(st.min)
+        his.append(st.max)
+    lo, hi = min(los), max(his)
+    span = (hi - lo + n_parts) // n_parts  # ceil
+
+    def tc(batch: pa.Table) -> pd.DataFrame:
+        t = token_count_batch(batch).to_pandas()
+        t["part"] = (t["doc_id"].to_numpy() - lo) // span
+        return t
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counted = docs.map_batches(tc, batch_format="pyarrow")
+
+    def part_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("part", as_index=False)["n_tokens"].sum()
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        counted.map_batches(part_partial, batch_format="pandas")
+        .groupby("part")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()  # n_parts rows
+        .sort_values("part")
+    )
+    base = np.zeros(n_parts, dtype=np.int64)
+    present = totals["part"].to_numpy()
+    cum = np.cumsum(totals["total"].to_numpy())
+    run = np.zeros(n_parts + 1, dtype=np.int64)
+    run[present + 1] = cum
+    base = np.maximum.accumulate(run)[:-1]  # exclusive base per part
+
+    def offsets(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy()
+        off = base[int(g["part"].iloc[0])] + np.cumsum(n) - n
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "pack_id": off // budget,
+                "pack_offset": off % budget,
+            }
+        )
+
+    return counted.groupby("part").map_groups(offsets, batch_format="pandas")
+
+
+def pack_sequences_sql(budget=PACK_BUDGET):
+    return f"""
+WITH tc AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM tc
+)
+SELECT doc_id, n_tokens, off // {int(budget)} AS pack_id,
+       off % {int(budget)} AS pack_offset
+FROM w
+"""

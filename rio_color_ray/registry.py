@@ -92,4 +92,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate.curate_corpus,
         "vocab_top_tokens": curate.vocab_top_tokens,
         "tfidf_top_terms": curate.tfidf_top_terms,
+        "pack_sequences": curate.pack_sequences,
     }

@@ -191,3 +191,15 @@ def test_tfidf_top_terms(ray_session, con):
     # at most m rows per doc, scores positive
     assert out.groupby("doc_id").size().max() <= curate.TFIDF_TOP_M
     assert (out["score_ppm"] > 0).all()
+
+
+def test_pack_sequences(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.pack_sequences(SF), con, curate.pack_sequences_sql())
+    # global stream contiguity: consecutive docs' offsets differ by
+    # exactly the earlier doc's token count
+    g = out.sort_values("doc_id").reset_index(drop=True)
+    off = g["pack_id"].to_numpy() * curate.PACK_BUDGET + g["pack_offset"].to_numpy()
+    assert (np.diff(off) == g["n_tokens"].to_numpy()[:-1]).all()
+    assert (g["pack_offset"] < curate.PACK_BUDGET).all()
