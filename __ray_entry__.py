@@ -240,4 +240,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_tokens": curate.vocab_top_tokens_sql(),
         "tfidf_top_terms": curate.tfidf_top_terms_sql(),
         "pack_sequences": curate.pack_sequences_sql(),
+        "chunk_documents": curate.chunk_documents_sql(),
     }

@@ -519,3 +519,72 @@ SELECT doc_id, n_tokens, off // {int(budget)} AS pack_id,
        off % {int(budget)} AS pack_offset
 FROM w
 """
+
+
+# --- sliding-window chunking (RAG / long-context prep) ------------------------
+
+CHUNK_SIZE = 24
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(sf_dir, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP):
+    """(doc_id, chunk_idx, tok_start, tok_end): sliding token windows of
+    ``size`` with ``overlap`` — the retrieval-prep expansion. Chunk i
+    covers [i*stride, min(i*stride + size, n_tokens)) with
+    stride = size - overlap; docs at or under ``size`` tokens (including
+    empty ones) emit exactly one chunk.
+
+    Pure per-row flat-map: token counts and the chunk explosion are one
+    vectorized pass per batch (repeat + rebased arange) — no exchange at
+    all, the embarrassingly-parallel shape chunking should have.
+    """
+    from ..stages.text import token_count_batch
+
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch)
+        doc_id = t.column("doc_id").to_numpy()
+        n = t.column("n_tokens").to_numpy()
+        nch = np.where(n <= size, 1, (n - size + stride - 1) // stride + 1)
+        rep_doc = np.repeat(doc_id, nch)
+        rep_n = np.repeat(n, nch)
+        pos = np.arange(int(nch.sum()))
+        starts = np.cumsum(nch) - nch
+        idx = pos - np.repeat(starts, nch)
+        tok_start = idx * stride
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_doc, pa.int64()),
+                "chunk_idx": pa.array(idx.astype(np.int64), pa.int64()),
+                "tok_start": pa.array(tok_start.astype(np.int64), pa.int64()),
+                "tok_end": pa.array(
+                    np.minimum(tok_start + size, rep_n).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(chunks, batch_format="pyarrow")
+
+
+def chunk_documents_sql(size=CHUNK_SIZE, overlap=CHUNK_OVERLAP):
+    stride = size - overlap
+    return f"""
+WITH tc AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), e AS (
+  SELECT doc_id, n_tokens,
+         unnest(range(CASE WHEN n_tokens <= {size} THEN 1
+                ELSE (n_tokens - {size} + {stride} - 1) // {stride} + 1 END))
+           AS chunk_idx
+  FROM tc
+)
+SELECT doc_id, chunk_idx, chunk_idx * {stride} AS tok_start,
+       least(chunk_idx * {stride} + {size}, n_tokens) AS tok_end
+FROM e
+"""

@@ -93,4 +93,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": curate.vocab_top_tokens,
         "tfidf_top_terms": curate.tfidf_top_terms,
         "pack_sequences": curate.pack_sequences,
+        "chunk_documents": curate.chunk_documents,
     }

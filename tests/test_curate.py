@@ -203,3 +203,19 @@ def test_pack_sequences(ray_session, con):
     off = g["pack_id"].to_numpy() * curate.PACK_BUDGET + g["pack_offset"].to_numpy()
     assert (np.diff(off) == g["n_tokens"].to_numpy()[:-1]).all()
     assert (g["pack_offset"] < curate.PACK_BUDGET).all()
+
+
+def test_chunk_documents(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.chunk_documents(SF), con, curate.chunk_documents_sql())
+    assert len(out) > 500  # multi-chunk docs exist at this window size
+    g = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # full coverage: chunk i+1 starts exactly `overlap` tokens before
+    # chunk i ends... i.e., starts advance by the stride; last chunk ends
+    # at n_tokens (== tok_end of the final chunk covers the tail)
+    stride = curate.CHUNK_SIZE - curate.CHUNK_OVERLAP
+    within = g.groupby("doc_id")
+    assert (within["tok_start"].diff().dropna() == stride).all()
+    assert (g["tok_end"] - g["tok_start"] <= curate.CHUNK_SIZE).all()
+    assert (g["tok_end"] > g["tok_start"]).sum() >= (g["tok_end"] >= 0).sum() - 1
