@@ -94,6 +94,13 @@ def run_bench():
     timed("rect_join", lambda: geo.rect_join(SF_DIR))
     timed("pip_join", lambda: geo.pip_join(SF_DIR))
 
+    # the corpus-curation headline: quality filter -> exact dedup ->
+    # stratified sample -> split (the hash-bucket-reduce path)
+    from rio_color_ray.pipelines import curate
+
+    timed("curate_corpus", lambda: curate.curate_corpus(SF_DIR))
+    timed("pack_sequences", lambda: curate.pack_sequences(SF_DIR))
+
     n_tiles = timed("flagship", lambda: flagship(SF_DIR, replicate=REPLICATE))
     flag_sec = queries["flagship"]
 
