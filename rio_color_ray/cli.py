@@ -282,8 +282,6 @@ def query(list_names, name, sf_dir, dst_path):
         )
     if not sf_dir:
         raise click.UsageError("SF_DIR is required")
-    import pandas as pd
-
     ray = _ensure_ray()
     res = reg[name](sf_dir)
     import ray.data as rd
@@ -303,8 +301,10 @@ def query(list_names, name, sf_dir, dst_path):
             )
         click.echo(f"wrote {dst_path}")
     else:
-        df = res.to_pandas() if isinstance(res, rd.Dataset) else res
-        click.echo(df.head(20).to_string())
+        # preview: limit INSIDE the dataset so the driver never
+        # materializes a row-per-event result just to print 20 rows
+        df = res.limit(20).to_pandas() if isinstance(res, rd.Dataset) else res.head(20)
+        click.echo(df.to_string())
 
 
 if __name__ == "__main__":

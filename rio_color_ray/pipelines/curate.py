@@ -450,12 +450,31 @@ def pack_sequences(sf_dir, budget=PACK_BUDGET, n_parts=PACK_PARTS):
     from ..stages.text import token_count_batch
 
     f = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    # resolve doc_id by NAME (column order is not a contract) and fall
+    # back to a scan aggregate if the writer omitted column statistics
     los, his = [], []
     for rg in range(f.metadata.num_row_groups):
-        st = f.metadata.row_group(rg).column(0).statistics
+        meta = f.metadata.row_group(rg)
+        st = None
+        for ci in range(meta.num_columns):
+            col = meta.column(ci)
+            if col.path_in_schema == "doc_id":
+                st = col.statistics
+                break
+        if st is None or st.min is None or st.max is None:
+            los, his = [], []
+            break
         los.append(st.min)
         his.append(st.max)
-    lo, hi = min(los), max(his)
+    if los:
+        lo, hi = min(los), max(his)
+    else:  # stats-free file: one distributed min/max pass over doc_id
+        from ray.data.aggregate import Max, Min
+
+        bounds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).aggregate(Min("doc_id"), Max("doc_id"))
+        lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
     span = (hi - lo + n_parts) // n_parts  # ceil
 
     def tc(batch: pa.Table) -> pd.DataFrame:

@@ -505,7 +505,7 @@ FROM assigned GROUP BY 1, 2
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity closes a session
 
 
-def sessionize(sf_dir):
+def sessionize(sf_dir, n_buckets=64):
     """Gap-based session windows per user (classic streaming op).
 
     Shuffle key = hash bucket of user_id (stages/agg.py); inside each
@@ -552,7 +552,7 @@ def sessionize(sf_dir):
         )
         return out
 
-    return hash_bucket_agg(ds, "user_id", sessions)
+    return hash_bucket_agg(ds, "user_id", sessions, n_buckets=n_buckets)
 
 
 SESSIONIZE_SQL = """
@@ -635,7 +635,7 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
 # As-of join (event-time point join), the classic operator Ray Data lacks.
 # ---------------------------------------------------------------------------
 
-def asof_join_clicks(sf_dir):
+def asof_join_clicks(sf_dir, n_buckets=64):
     """For every purchase, the latest click by the same user at-or-before
     the purchase (ordered by (ts, event_id) — fully deterministic ties).
 
@@ -679,7 +679,7 @@ def asof_join_clicks(sf_dir):
             }
         )
 
-    return hash_bucket_agg(ds, "user_id", asof)
+    return hash_bucket_agg(ds, "user_id", asof, n_buckets=n_buckets)
 
 
 ASOF_SQL = """
@@ -1031,7 +1031,7 @@ GROUP BY event_type
 RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
 
 
-def range_join_clicks(sf_dir, window_us=RANGE_JOIN_WINDOW_US):
+def range_join_clicks(sf_dir, window_us=RANGE_JOIN_WINDOW_US, n_buckets=64):
     """For every purchase, how many clicks the same user made in
     ``[ts - window, ts)``.
 
@@ -1095,7 +1095,7 @@ def range_join_clicks(sf_dir, window_us=RANGE_JOIN_WINDOW_US):
             )
         return pd.concat(frames, ignore_index=True)
 
-    return hash_bucket_agg(ds, "user_id", count_range)
+    return hash_bucket_agg(ds, "user_id", count_range, n_buckets=n_buckets)
 
 
 RANGE_JOIN_SQL = f"""
@@ -1184,7 +1184,7 @@ GROUP BY c.c_custkey, c.c_name
 # ---------------------------------------------------------------------------
 
 
-def event_gaps(sf_dir):
+def event_gaps(sf_dir, n_buckets=64):
     """(event_id, user_id, gap_us) for every event with a predecessor.
 
     The lag window over (user_id ORDER BY ts, event_id) as one
@@ -1214,7 +1214,7 @@ def event_gaps(sf_dir):
             }
         )
 
-    return hash_bucket_agg(ds, "user_id", gaps)
+    return hash_bucket_agg(ds, "user_id", gaps, n_buckets=n_buckets)
 
 
 EVENT_GAPS_SQL = """
@@ -1339,7 +1339,7 @@ _ARRIVAL_KNUTH = 2654435761
 _ARRIVAL_JITTER = 4096
 
 
-def late_events(sf_dir):
+def late_events(sf_dir, n_buckets=64):
     """Events that arrived AFTER later event-time had already been seen
     for the same user — the set a watermarking ingester would quarantine.
 
@@ -1358,7 +1358,12 @@ def late_events(sf_dir):
     def late(bucket: pd.DataFrame) -> pd.DataFrame:
         eid = bucket["event_id"].to_numpy()
         u = bucket["user_id"].to_numpy()
-        arrival = eid + (eid * _ARRIVAL_KNUTH) % _ARRIVAL_JITTER
+        # (eid % J) * (K % J) % J == (eid * K) % J — the reduced form
+        # keeps every intermediate < J^2, so the BIGINT SQL twin cannot
+        # overflow at any event_id (int64 numpy wrap gave the same value
+        # here because J divides 2^64, but DuckDB raises instead of
+        # wrapping)
+        arrival = eid + ((eid % _ARRIVAL_JITTER) * (_ARRIVAL_KNUTH % _ARRIVAL_JITTER)) % _ARRIVAL_JITTER
         order = np.lexsort((eid, arrival, u))
         eid, u = eid[order], u[order]
         ts = bucket["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[order]
@@ -1377,7 +1382,7 @@ def late_events(sf_dir):
             }
         )
 
-    return hash_bucket_agg(ds, "user_id", late)
+    return hash_bucket_agg(ds, "user_id", late, n_buckets=n_buckets)
 
 
 LATE_EVENTS_SQL = f"""
@@ -1385,7 +1390,8 @@ SELECT event_id, user_id, max_prev - epoch_us(ts) AS lateness_us FROM (
   SELECT event_id, user_id, ts,
          max(epoch_us(ts)) OVER (
              PARTITION BY user_id
-             ORDER BY event_id + (event_id * {_ARRIVAL_KNUTH}) % {_ARRIVAL_JITTER},
+             ORDER BY event_id + ((event_id % {_ARRIVAL_JITTER})
+                      * {_ARRIVAL_KNUTH % _ARRIVAL_JITTER}) % {_ARRIVAL_JITTER},
                       event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev
   FROM events
@@ -1485,7 +1491,7 @@ GROUP BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
-def user_running_value(sf_dir):
+def user_running_value(sf_dir, n_buckets=64):
     """(event_id, user_id, cum_value_cents): each user's running total of
     event value in exact integer cents, ordered by (ts, event_id).
 
@@ -1517,7 +1523,7 @@ def user_running_value(sf_dir):
             }
         )
 
-    return hash_bucket_agg(ds, "user_id", running)
+    return hash_bucket_agg(ds, "user_id", running, n_buckets=n_buckets)
 
 
 USER_RUNNING_VALUE_SQL = """
@@ -1651,6 +1657,10 @@ def events_rollup(sf_dir):
         ds.map_batches(partial, batch_format="pandas")
         .groupby(["day", "event_type"])
         .aggregate(Sum("n", alias_name="n"))
+        # three consumers below (detail rows, day subtotals, grand total):
+        # pin the bounded detail result so the raw stream really is read
+        # once, not re-executed per union branch
+        .materialize()
     )
     sub = (
         detail.groupby("day")

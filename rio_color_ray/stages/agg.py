@@ -18,7 +18,11 @@ min-label CC phases.
 Scale notes: buckets are uniform under the modulo of a dense int key —
 for adversarial key skew, salt upstream like pipelines/geo.py does.
 Callers should pre-aggregate per batch BEFORE calling (partial
-combine), so the exchange moves partials, not raw rows.
+combine), so the exchange moves partials, not raw rows. Callers that
+MUST ship raw rows (the window family: sessionize, as-of, range join —
+their per-row outputs can't pre-reduce) expose ``n_buckets`` and should
+size it so one bucket (~1/n_buckets of the table) fits a worker's heap:
+n_buckets is the reduce parallelism AND the per-task memory divisor.
 """
 
 import numpy as np

@@ -191,18 +191,17 @@ class MinHashStage:
         )
 
 
-def candidate_pairs_from_bands(band_ds, n_buckets=64):
-    """(band, band_hash) groups -> unique candidate id pairs (a < b).
+def _bucketed_segment_pairs(band_ds, emit, n_buckets=64, extra_cols=(), what="LSH"):
+    """Shared scaffolding for banded candidate-pair stages.
 
     The LSH group count grows with the corpus (bands x distinct hashes),
-    so grouping is done on HASH BUCKETS of (band, band_hash) — Ray's
+    so grouping runs on HASH BUCKETS of (band, band_hash) — Ray's
     per-group reduce cost is paid ``n_buckets`` times, not once per LSH
     bucket (~0.6 ms/group measured, see stages/agg.py). Inside a bucket,
-    segments are found with one lexsort + boundary mask; pair emission
-    per segment is vectorized (triu_indices) and capped (star degrade,
-    MAX_BUCKET_PAIRS_IDS). The cross-band duplicate collapse is likewise
-    a bucketed drop_duplicates keyed on a pair hash — never a
-    pair-cardinality groupby.
+    segments are found with one lexsort + boundary mask and handed to
+    ``emit(ids, extras) -> (id_a, id_b, degraded)`` per segment (numpy
+    slices, ~us each). The cross-band duplicate collapse is a bucketed
+    pair-hash drop_duplicates — never a pair-cardinality groupby.
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -217,6 +216,7 @@ def candidate_pairs_from_bands(band_ds, n_buckets=64):
             ["band", "band_hash", "id"], kind="mergesort"
         )
         ids = d["id"].to_numpy()
+        extras = {c: d[c].to_numpy() for c in extra_cols}
         bd, bh = d["band"].to_numpy(), d["band_hash"].to_numpy()
         new = np.ones(len(d), dtype=bool)
         if len(d):
@@ -224,25 +224,21 @@ def candidate_pairs_from_bands(band_ds, n_buckets=64):
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], len(d))
         outs_a, outs_b, degraded = [], [], 0
-        for s, e in zip(starts, ends):  # numpy work per segment, ~us/seg
-            c = e - s
-            if c < 2:
+        for s, e in zip(starts, ends):
+            if e - s < 2:
                 continue
-            u = ids[s:e]
-            if c > MAX_BUCKET_PAIRS_IDS:
-                outs_a.append(np.repeat(u[:1], c - 1))
-                outs_b.append(u[1:])
-                degraded += 1
-            else:
-                ia, ib = np.triu_indices(c, k=1)
-                outs_a.append(u[ia])
-                outs_b.append(u[ib])
+            a, b, deg = emit(ids[s:e], {c: v[s:e] for c, v in extras.items()})
+            degraded += deg
+            if len(a):
+                outs_a.append(a)
+                outs_b.append(b)
         if degraded:
             import logging
 
             logging.getLogger(__name__).warning(
-                "%d LSH buckets over %d ids degraded to star pairs",
+                "%d %s buckets over %d ids degraded to star pairs",
                 degraded,
+                what,
                 MAX_BUCKET_PAIRS_IDS,
             )
         if not outs_a:
@@ -262,6 +258,21 @@ def candidate_pairs_from_bands(band_ds, n_buckets=64):
         .map_groups(pairs_bucket, batch_format="pandas")
     )
     return dedup_pairs(cand, n_buckets=n_buckets)
+
+
+def candidate_pairs_from_bands(band_ds, n_buckets=64):
+    """(band, band_hash) groups -> unique candidate id pairs (a < b),
+    vectorized per segment (triu_indices) and star-capped
+    (MAX_BUCKET_PAIRS_IDS) — see :func:`_bucketed_segment_pairs`."""
+
+    def emit(u, _extras):
+        c = len(u)
+        if c > MAX_BUCKET_PAIRS_IDS:
+            return np.repeat(u[:1], c - 1), u[1:], 1
+        ia, ib = np.triu_indices(c, k=1)
+        return u[ia], u[ib], 0
+
+    return _bucketed_segment_pairs(band_ds, emit, n_buckets=n_buckets)
 
 
 def dedup_pairs(cand, n_buckets=64):
@@ -291,77 +302,30 @@ def dedup_pairs(cand, n_buckets=64):
 
 
 def simhash_candidate_pairs(band_ds, max_hamming, n_buckets=64, cap=MAX_BUCKET_PAIRS_IDS):
-    """Bucketed SimHash candidate pairs with in-segment Hamming verify.
-
-    Same shape as :func:`candidate_pairs_from_bands` (the band-group
-    count grows with the corpus, so grouping runs on hash buckets with a
-    numpy segment loop inside), but each segment verifies pairs with an
-    XOR+popcount matrix against ``max_hamming`` before emitting; buckets
-    over ``cap`` degrade to star pairs against the min id (logged).
+    """Bucketed SimHash candidate pairs with in-segment Hamming verify:
+    the shared :func:`_bucketed_segment_pairs` scaffolding with an
+    XOR+popcount pair filter against ``max_hamming``; segments over
+    ``cap`` degrade to Hamming-verified star pairs against the min id.
     """
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        bh = df["band_hash"].to_numpy().astype(np.int64)
-        bd = df["band"].to_numpy().astype(np.int64)
-        df["__b"] = (bh * 1315423911 + bd) % n_buckets
-        return df
+    def emit(u, extras):
+        sv = extras["simhash"].astype(np.uint64)
+        n = len(u)
+        if n > cap:
+            x = sv[0] ^ sv
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(n, 8), axis=1
+            ).sum(axis=1, dtype=np.int64)
+            keep = (ham <= max_hamming) & (u != u[0])
+            return np.repeat(u[:1], int(keep.sum())), u[keep], 1
+        ham = hamming_matrix(sv)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = ham[ia, ib] <= max_hamming
+        return u[ia[keep]], u[ib[keep]], 0
 
-    def pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        d = bucket.drop_duplicates(["band", "band_hash", "id"]).sort_values(
-            ["band", "band_hash", "id"], kind="mergesort"
-        )
-        ids = d["id"].to_numpy()
-        sims = d["simhash"].to_numpy().astype(np.uint64)
-        bd, bh = d["band"].to_numpy(), d["band_hash"].to_numpy()
-        new = np.ones(len(d), dtype=bool)
-        if len(d):
-            new[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(d))
-        outs_a, outs_b, degraded = [], [], 0
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            u, sv = ids[s:e], sims[s:e]
-            if n > cap:
-                x = sv[0] ^ sv
-                ham = np.unpackbits(
-                    x.view(np.uint8).reshape(n, 8), axis=1
-                ).sum(axis=1, dtype=np.int64)
-                keep = (ham <= max_hamming) & (u != u[0])
-                outs_a.append(np.repeat(u[:1], int(keep.sum())))
-                outs_b.append(u[keep])
-                degraded += 1
-            else:
-                ham = hamming_matrix(sv)
-                ia, ib = np.triu_indices(n, k=1)
-                keep = ham[ia, ib] <= max_hamming
-                outs_a.append(u[ia[keep]])
-                outs_b.append(u[ib[keep]])
-        if degraded:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "%d simhash buckets over %d ids degraded to star pairs",
-                degraded,
-                cap,
-            )
-        if not outs_a:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=str), "id_b": pd.Series([], dtype=str)}
-            )
-        return pd.DataFrame(
-            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
-        )
-
-    cand = (
-        band_ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(pairs_bucket, batch_format="pandas")
+    return _bucketed_segment_pairs(
+        band_ds, emit, n_buckets=n_buckets, extra_cols=("simhash",), what="simhash"
     )
-    return dedup_pairs(cand, n_buckets=n_buckets)
 
 
 def jaccard(text_a, text_b, n=3):
