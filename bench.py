@@ -101,6 +101,13 @@ def run_bench():
     timed("curate_corpus", lambda: curate.curate_corpus(SF_DIR))
     timed("pack_sequences", lambda: curate.pack_sequences(SF_DIR))
 
+    # the dedup headline: regressions in the LSH-pair and min-label-CC
+    # paths must be visible round-over-round like the flagship's
+    from rio_color_ray.pipelines import corpus
+
+    timed("near_dup_minhash", lambda: corpus.near_dup_pairs_minhash(SF_DIR))
+    timed("dedup_clusters", lambda: corpus.dedup_clusters(SF_DIR))
+
     n_tiles = timed("flagship", lambda: flagship(SF_DIR, replicate=REPLICATE))
     flag_sec = queries["flagship"]
 

@@ -29,7 +29,8 @@ try:  # pragma: no cover - trivial guard
     from .ctx import tune_data_context
 
     tune_data_context()
-except (ImportError, AttributeError) as _e:  # e.g. a Ray DataContext rename
+except Exception as _e:  # noqa: BLE001 — a DataContext rename / kwarg change
+    # must degrade to Ray's defaults with a warning, never abort import
     import warnings
 
     warnings.warn(

@@ -17,7 +17,6 @@ from ..stages.dedup import (
     MinHashStage,
     candidate_pairs_from_bands,
     exact_dedup,
-    jaccard,
     simhash_batch,
 )
 from ..stages.statecache import make_stage_fn
@@ -161,16 +160,51 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        """Batch-vectorized exact n-gram Jaccard.
+
+        One shingle_hash_arrays pass per text column, then per-pair
+        distinct counts and intersections via lexsort + boundary masks —
+        no per-pair Python tokenize/set-build (the old per-pair
+        ``jaccard()`` loop was the slowest stage after a hot LSH round).
+        Hashed 3-grams stand in for the oracle's string 3-grams: the
+        gram counts are identical by construction (both emit
+        max(1, n_tokens-2) grams, end-padded) and 64-bit collisions
+        within one pair's union are negligible — the same equivalence
+        the min-shingle candidate path already relies on.
+        """
         if len(batch) == 0:
             return pd.DataFrame(
                 {"url_a": pd.Series([], dtype=str), "url_b": pd.Series([], dtype=str)}
             )
-        ok = np.asarray(
-            [
-                jaccard(a, b) >= threshold
-                for a, b in zip(batch["text_a"], batch["text_b"])
-            ]
-        )
+        from ..stages.dedup import shingle_hash_arrays
+
+        n = len(batch)
+
+        def distinct_per_pair(texts):
+            g, counts = shingle_hash_arrays(list(texts))
+            seg = np.repeat(np.arange(len(counts)), counts)
+            order = np.lexsort((g, seg))
+            gs, ss = g[order], seg[order]
+            first = np.ones(len(gs), dtype=bool)
+            first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+            return gs[first], ss[first]
+
+        da, sa = distinct_per_pair(batch["text_a"])
+        db, sb = distinct_per_pair(batch["text_b"])
+        na = np.bincount(sa, minlength=n)
+        nb = np.bincount(sb, minlength=n)
+        # a gram appearing twice within one pair must be once per side
+        # (each side is distinct), i.e. an intersection hit
+        allg = np.concatenate([da, db])
+        alls = np.concatenate([sa, sb])
+        order = np.lexsort((allg, alls))
+        gs, ss = allg[order], alls[order]
+        dup = (gs[1:] == gs[:-1]) & (ss[1:] == ss[:-1])
+        inter = np.bincount(ss[1:][dup], minlength=n)
+        union = na + nb - inter
+        # divide (not inter >= t*union): float rounding at the threshold
+        # boundary must match the oracle's division exactly
+        ok = inter / union >= threshold  # union >= 1 always (counts >= 1)
         out = batch.loc[ok, ["id_a", "id_b"]]
         return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
 
@@ -304,20 +338,19 @@ def ann_topk_ivf(sf_dir, k=10, n_queries=8, n_cells=16, n_probe=6, sample_n=512,
                  concurrency=4):
     """IVF-bucketed ANN top-k — the scale path beside the brute oracle.
 
-    Coarse centroids train on a driver-side sample (seeded k-means,
-    stages/ann.py); each batch scores only the queries probing its
-    vectors' cells, so per-query work is ~n_probe/n_cells of the table
-    instead of all of it. Approximate by construction (rows-only check);
-    tests assert recall@k >= 0.9 against the exact brute path.
+    Coarse centroids train on a driver-side sample SPREAD across row
+    groups (seeded, stages/ann.py sample_embeddings_spread) — never the
+    file's first batch, which on a sorted/clustered layout is a single
+    cluster and silently collapses recall. Each batch scores only the
+    queries probing its vectors' cells, so per-query work is
+    ~n_probe/n_cells of the table instead of all of it. Approximate by
+    construction (rows-only check); tests assert recall@k >= 0.9 against
+    the exact brute path, including on a label-sorted layout.
     """
-    import pyarrow.parquet as pq
-
-    from ..stages.ann import AnnIVFStage, train_ivf_centroids
+    from ..stages.ann import AnnIVFStage, sample_embeddings_spread, train_ivf_centroids
 
     qid, qmat = _query_vectors(sf_dir, n_queries)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    sample_t = next(pf.iter_batches(batch_size=sample_n, columns=["embedding"]))
-    sample = np.stack(sample_t.column("embedding").to_pylist())
+    sample = sample_embeddings_spread(f"{sf_dir}/embeddings.parquet", sample_n)
     cent = train_ivf_centroids(sample, n_cells)
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -347,6 +380,13 @@ def embeddings_replicated(sf_dir, replicate=1):
         return ds
 
     def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # block-split artifact
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         vid = batch.column("vec_id").to_numpy()
         vecs = list_col_to_matrix(batch.column("embedding"))
         out = []
@@ -382,30 +422,47 @@ def embedding_buckets(sf_dir, concurrency=2):
 def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tables=4):
     """Embedding near-dup pairs: multi-table LSH -> within-bucket cosine.
 
-    Fully distributed: vectors ride the shuffle with their bucket key
-    (``carry_vec=True``); each (table, bucket) group verifies with one
-    matmul in ``map_groups``; pair duplicates across tables collapse in a
-    distributed groupby — the pair list never lands on the driver.
+    Fully distributed with the SAME scale scaffolding as the text LSH
+    paths (stages/dedup.py): vectors ride the shuffle with their bucket
+    key (``carry_vec=True``); (table, bucket) segments verify inside
+    hash-bucketed groups (64 Ray groups total, never one per LSH
+    bucket); segments over MAX_BUCKET_PAIRS_IDS degrade to
+    cosine-verified STAR pairs (a 10^5-member boilerplate bucket emits
+    10^5 pairs, not 10^10); cross-table duplicates collapse in the
+    bucketed ``dedup_pairs`` exchange — never a pair-cardinality native
+    groupby, and the pair list never lands on the driver.
     ``replicate=2`` plants one jittered near-dup per vector so the
     operator's recall is testable (tests assert >= 95% found). Returns a
     Dataset[vec_id_a, vec_id_b].
     """
-    from ray.data.aggregate import Count
-
-    from ..stages.dedup import bucket_cosine_pairs
+    from ..stages.dedup import embedding_cosine_pairs
 
     ds = embeddings_replicated(sf_dir, replicate=replicate)
     buckets = ds.map_batches(
         make_stage_fn(EmbeddingLSHStage, carry_vec=True, n_tables=n_tables),
         batch_format="pyarrow",
     )
-    pairs = buckets.groupby(["table", "bucket"]).map_groups(
-        bucket_cosine_pairs(threshold), batch_format="pandas"
+
+    def as_bands(batch: pa.Table) -> pa.Table:
+        """(table, bucket) keys renamed to the shared (band, band_hash)
+        contract of _bucketed_segment_pairs."""
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "band": batch.column("table"),
+                "band_hash": batch.column("bucket"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    pairs = embedding_cosine_pairs(
+        buckets.map_batches(as_bands, batch_format="pyarrow"), threshold
     )
-    return (
-        pairs.groupby(["vec_id_a", "vec_id_b"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
+    # rename via map_batches: Dataset.rename_columns assumes Arrow blocks
+    # and these are pandas (map_groups output)
+    return pairs.map_batches(
+        lambda df: df.rename(columns={"id_a": "vec_id_a", "id_b": "vec_id_b"}),
+        batch_format="pandas",
     )
 
 
@@ -465,10 +522,8 @@ def media_resize(sf_dir, out_size=(8, 8), concurrency=2):
     def meta(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        sums = [
-            int(np.frombuffer(p, dtype=np.uint8).sum())
-            for p in batch.column("pixels").to_pylist()
-        ]
+        from ..stages.multimodal import binary_col_byte_sums
+
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
@@ -477,7 +532,9 @@ def media_resize(sf_dir, out_size=(8, 8), concurrency=2):
                 "n_bytes": pc.cast(
                     pc.binary_length(batch.column("pixels")), pa.int64()
                 ),
-                "sum_pixels": pa.array(sums, pa.int64()),
+                "sum_pixels": pa.array(
+                    binary_col_byte_sums(batch.column("pixels")), pa.int64()
+                ),
             }
         )
 

@@ -306,17 +306,26 @@ SELECT lang, doc_id FROM (
 # --- TF-IDF relevance (integer-exact) ----------------------------------------
 
 TFIDF_TOP_M = 3
+# idf ceiling: a df=1 term's raw weight is 1e6 * N, which would wrap
+# int64 silently (numpy) around N*tf ~ 9.2e12 while the BIGINT SQL twin
+# errors. Capping the WEIGHT (both engines identically) bounds
+# score_ppm <= tf * 1e12 — safe for any tf < 9.2e6 tokens/doc at any
+# corpus size. Terms rarer than ~1-in-1e6 docs tie at the cap and break
+# on the token ordering, identically on both sides.
+TFIDF_WEIGHT_PPM_CAP = 10**12
 
 
 def tfidf_top_terms(sf_dir, k_vocab=VOCAB_K, m=TFIDF_TOP_M):
     """Top-``m`` most characteristic vocab terms per document by an
     integer-exact TF-IDF-ish score.
 
-    ``score_ppm = tf * ((1_000_000 * N) // df)`` — term frequency times a
-    parts-per-million inverse document frequency computed with integer
-    division only, so the DuckDB twin matches bit-for-bit (a log-based
-    idf would float-diverge; the ranking it induces is the same
-    rare-term-wins order).
+    ``score_ppm = tf * min((1_000_000 * N) // df, 10^12)`` — term
+    frequency times a parts-per-million inverse document frequency
+    computed with integer division only, so the DuckDB twin matches
+    bit-for-bit (a log-based idf would float-diverge; the ranking it
+    induces is the same rare-term-wins order). The weight cap keeps the
+    int64 score from overflowing at any corpus size (see
+    TFIDF_WEIGHT_PPM_CAP).
 
     Three passes, all streaming: (1) the corpus-wide top-``k_vocab``
     vocabulary (tiny result, collected); (2) document frequency per
@@ -365,7 +374,9 @@ def tfidf_top_terms(sf_dir, k_vocab=VOCAB_K, m=TFIDF_TOP_M):
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()  # <= k_vocab rows
     )
-    df_tbl["weight_ppm"] = (1_000_000 * n_docs) // df_tbl["df"].to_numpy()
+    df_tbl["weight_ppm"] = np.minimum(
+        (1_000_000 * n_docs) // df_tbl["df"].to_numpy(), TFIDF_WEIGHT_PPM_CAP
+    )
     ref = ray.put(df_tbl[["token", "weight_ppm"]])
 
     def score_batch(batch: pa.Table) -> pd.DataFrame:
@@ -409,7 +420,8 @@ WITH toks AS (
   WHERE token IN (SELECT token FROM vocab) GROUP BY doc_id, token
 ), scored AS (
   SELECT tf.doc_id, tf.token,
-         CAST(tf.tf * ((1000000 * nd.n_docs) // df.df) AS BIGINT) AS score_ppm
+         CAST(tf.tf * least((1000000 * nd.n_docs) // df.df,
+                            {TFIDF_WEIGHT_PPM_CAP}) AS BIGINT) AS score_ppm
   FROM tf JOIN df USING(token) CROSS JOIN nd
 )
 SELECT doc_id, token, score_ppm FROM (

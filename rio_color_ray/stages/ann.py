@@ -24,10 +24,46 @@ def list_col_to_matrix(col, dtype=np.float64):
     """
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
+    if n == 0:
+        # empty block-split artifact: reshape(0, -1) would raise; the
+        # width is only knowable for fixed-size lists, (0, 0) otherwise
+        # (callers guard on len(batch) before using the width)
+        width = getattr(arr.type, "list_size", 0) or 0
+        return np.empty((0, width), dtype=dtype)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
-    if n and flat.size % n:
+    if flat.size % n:
         raise ValueError("list_col_to_matrix: ragged list column")
     return flat.reshape(n, -1)
+
+
+def _empty_partial() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score_r6": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _self_exclusion_index(qid):
+    """(sorted qids, their column index) for vectorized self-exclusion.
+
+    Query ids are unique by construction (_query_vectors filters on
+    vec_id), so one searchsorted probe per batch row replaces the old
+    O(batch x queries) Python loop.
+    """
+    order = np.argsort(qid, kind="stable")
+    return qid[order], order
+
+
+def _exclude_self(scores, ids, qid_sorted, qid_cols):
+    """scores[r, c] = -inf wherever ids[r] == query id of column c."""
+    if len(qid_sorted) == 0 or len(ids) == 0:
+        return
+    pos = np.minimum(np.searchsorted(qid_sorted, ids), len(qid_sorted) - 1)
+    rows = np.flatnonzero(qid_sorted[pos] == ids)
+    scores[rows, qid_cols[pos[rows]]] = -np.inf
 
 
 class AnnBruteStage:
@@ -40,19 +76,16 @@ class AnnBruteStage:
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        self._qid_sorted, self._qid_cols = _self_exclusion_index(self.qid)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partial()
         ids = batch.column(self.id_col).to_numpy()
         vecs = list_col_to_matrix(batch.column(self.vec_col))
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         scores = vecs @ self.q.T  # (batch, queries)
-
-        # self-exclusion
-        for row, i in enumerate(ids):
-            hit = np.nonzero(self.qid == i)[0]
-            if len(hit):
-                scores[row, hit] = -np.inf
-
+        _exclude_self(scores, ids, self._qid_sorted, self._qid_cols)
         k = min(self.k, scores.shape[0])
         idx = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, queries)
         qcols = np.broadcast_to(np.arange(scores.shape[1]), idx.shape)
@@ -90,6 +123,35 @@ def ann_topk_reduce(group: pd.DataFrame, k: int) -> pd.DataFrame:
             "rank": np.arange(1, len(g) + 1, dtype=np.int64),
         }
     )
+
+
+def sample_embeddings_spread(path, sample_n, seed=2024, max_row_groups=16,
+                             vec_col="embedding"):
+    """Seeded embedding sample SPREAD across the file's row groups.
+
+    Training IVF centroids on the file's first batch silently collapses
+    recall on a sorted/clustered layout (the first row group is one
+    cluster); instead, up to ``max_row_groups`` row groups are chosen
+    uniformly at random (seeded) and an equal per-group quota of rows is
+    drawn from each — the driver touches a bounded number of row groups
+    regardless of file size. Returns an (n, dim) float64 matrix.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    n_rg = pf.metadata.num_row_groups
+    rng = np.random.default_rng(seed)
+    groups = np.sort(rng.choice(n_rg, size=min(n_rg, max_row_groups), replace=False))
+    quota = -(-sample_n // len(groups))  # ceil
+    parts = []
+    for g in groups:
+        t = pf.read_row_group(int(g), columns=[vec_col])
+        take = min(quota, t.num_rows)
+        if take == 0:
+            continue
+        idx = np.sort(rng.choice(t.num_rows, size=take, replace=False))
+        parts.append(list_col_to_matrix(t.column(vec_col))[idx])
+    return np.concatenate(parts)[:sample_n]
 
 
 def train_ivf_centroids(sample, n_cells, iters=5, seed=2024):
@@ -138,8 +200,11 @@ class AnnIVFStage:
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        self._qid_sorted, self._qid_cols = _self_exclusion_index(self.qid)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partial()
         ids = batch.column(self.id_col).to_numpy()
         vecs = list_col_to_matrix(batch.column(self.vec_col))
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
@@ -148,10 +213,7 @@ class AnnIVFStage:
         probe_mask = (self.probes[:, :, None] == cell[None, None, :]).any(axis=1)
         scores = vecs @ self.q.T  # (batch, queries)
         scores[~probe_mask.T] = -np.inf
-        for row, i in enumerate(ids):  # self-exclusion
-            hit = np.nonzero(self.qid == i)[0]
-            if len(hit):
-                scores[row, hit] = -np.inf
+        _exclude_self(scores, ids, self._qid_sorted, self._qid_cols)
         k = min(self.k, scores.shape[0])
         idx = np.argpartition(-scores, k - 1, axis=0)[:k]
         qcols = np.broadcast_to(np.arange(scores.shape[1]), idx.shape)

@@ -437,6 +437,15 @@ class EmbeddingLSHStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .ann import list_col_to_matrix
 
+        if batch.num_rows == 0:  # block-split artifact
+            cols = {
+                "id": batch.column(self.id_col),
+                "table": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+            if self.carry_vec:
+                cols["embedding"] = batch.column(self.vec_col)
+            return pa.table(cols)
         vecs = list_col_to_matrix(batch.column(self.vec_col))
         n = len(vecs)
         ids = batch.column(self.id_col)
@@ -457,27 +466,36 @@ class EmbeddingLSHStage:
         return pa.concat_tables(out)
 
 
-def bucket_cosine_pairs(threshold):
-    """map_groups fn: within-bucket exact pairwise cosine >= threshold."""
+def embedding_cosine_pairs(band_ds, threshold, n_buckets=64, cap=MAX_BUCKET_PAIRS_IDS):
+    """Bucketed embedding near-dup pairs with in-segment cosine verify.
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame(
-                {
-                    "vec_id_a": pd.Series([], dtype=np.int64),
-                    "vec_id_b": pd.Series([], dtype=np.int64),
-                }
-            )
-        order = np.argsort(group["id"].to_numpy())
-        ids = group["id"].to_numpy()[order]
-        vecs = np.stack(group["embedding"].to_numpy()[order]).astype(np.float64)
+    The shared :func:`_bucketed_segment_pairs` scaffolding — LSH (table,
+    bucket) keys ride as (band, band_hash), vectors ride as the extra
+    column — so the embedding path gets the same scale guarantees the
+    text LSH paths have: hash-bucketed grouping (n_buckets Ray groups,
+    not one per LSH bucket), a ``cap`` star degradation (a boilerplate
+    cluster of n identical embeddings emits n-1 cosine-verified star
+    pairs, never n^2), and the bucketed cross-table pair collapse
+    (:func:`dedup_pairs`) instead of a pair-cardinality native groupby.
+    """
+
+    def emit(u, extras):
+        vecs = np.stack(extras["embedding"]).astype(np.float64)
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        n = len(u)
+        if n > cap:
+            sim = vecs @ vecs[0]
+            keep = (sim >= threshold) & (u != u[0])
+            return np.repeat(u[:1], int(keep.sum())), u[keep], 1
         sim = vecs @ vecs.T
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = np.triu_indices(n, k=1)
         keep = sim[ia, ib] >= threshold
-        return pd.DataFrame({"vec_id_a": ids[ia[keep]], "vec_id_b": ids[ib[keep]]})
+        return u[ia[keep]], u[ib[keep]], 0
 
-    return pairs
+    return _bucketed_segment_pairs(
+        band_ds, emit, n_buckets=n_buckets, extra_cols=("embedding",),
+        what="embedding-LSH",
+    )
 
 
 # --- SQL twins (DuckDB oracles) ---------------------------------------------

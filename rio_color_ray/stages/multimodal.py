@@ -20,6 +20,29 @@ import numpy as np
 import pyarrow as pa
 
 
+def binary_col_byte_sums(col) -> np.ndarray:
+    """Per-row sum of a binary column's bytes, Arrow-buffer vectorized.
+
+    One int64 cumsum over the data buffer + a diff at the row offsets —
+    no per-row ``np.frombuffer(...).sum()`` Python loop (that loop is
+    fine at small payloads but O(rows) interpreter work as payloads
+    grow). Null rows sum to 0.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    odtype = np.int64 if width == 8 else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=odtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    cs = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(data, dtype=np.int64, out=cs[1:])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
 class DecodeImageStage:
     """Decode image bytes -> (h, w, 3) uint8 + feature columns.
 

@@ -304,6 +304,63 @@ def test_candidate_pairs_mega_bucket_bounded(ray_session):
     assert (pairs["id_a"] == "u00000").all()
 
 
+def test_embedding_hot_bucket_bounded(ray_session, tmp_path):
+    """A planted 5k-member identical-embedding cluster (every LSH table
+    hashes it to one bucket) must complete in seconds with LINEAR
+    output: segments over MAX_BUCKET_PAIRS_IDS degrade to cosine-verified
+    star pairs against the min id — never the n(n-1)/2 all-pairs matrix
+    (the embedding twin of test_candidate_pairs_mega_bucket_bounded)."""
+    from rio_color_ray.pipelines.corpus import embedding_near_dup
+
+    n = 5000
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(64).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v))] * n, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    pairs = embedding_near_dup(str(tmp_path), replicate=1).to_pandas()
+    # star per (table, bucket), identical across tables -> exactly n-1
+    assert len(pairs) == n - 1
+    assert (pairs["vec_id_a"] == 0).all()
+    assert set(pairs["vec_id_b"]) == set(range(1, n))
+
+
+def test_ann_ivf_recall_on_sorted_layout(ray_session, tmp_path):
+    """Centroid training must survive a cluster-SORTED layout: 20 tight
+    Gaussian clusters written in label order, query vectors planted in
+    the LAST clusters. Training on the file's first batch only ever sees
+    the first ~2 clusters — measured recall 0.65 at n_probe=6 and a 1.6x
+    worse max-cell load; sample_embeddings_spread (seeded draw across
+    row groups) restores recall 1.0. Guards the representative-sampling
+    contract of ann_topk_ivf."""
+    from rio_color_ray.pipelines.corpus import ann_topk, ann_topk_ivf
+
+    rng = np.random.default_rng(99)
+    n_clusters, n, dim = 20, 4000, 64
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = np.sort(rng.integers(0, n_clusters, n))
+    pts = (centers[lab] + 0.05 * rng.standard_normal((n, dim))).astype(np.float32)
+    ids = np.arange(8, n + 8)
+    ids[-8:] = np.arange(8)  # query ids 0..7 live in the last clusters
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in pts], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"), row_group_size=256)
+    exact = ann_topk(str(tmp_path), k=10, n_queries=8).to_pandas()
+    approx = ann_topk_ivf(str(tmp_path), k=10, n_queries=8).to_pandas()
+    e = set(zip(exact["query_id"], exact["vec_id"]))
+    a = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(e & a) / len(e) >= 0.9, (len(e & a), len(e))
+
+
 def test_minhash_signatures_batch_invariant(ray_session):
     """Vectorized signatures must not depend on batch composition and
     must be identical for identical texts."""
