@@ -594,6 +594,29 @@ def test_min_label_components_multi_hop(ray_session):
     assert out.cluster_id.tolist() == [10, 10, 10, 40, 50, 50]
 
 
+def test_min_label_components_long_chain(ray_session):
+    """Worst-case diameter: a 3000-node path (node i shares key i with
+    node i+1) must converge within max_iters — the path-compression
+    rewrite makes rounds O(log diameter), not one hop per round — and
+    label every node with the chain head."""
+    import ray.data
+
+    from rio_color_ray.stages.cluster import min_label_components
+
+    n = 3000
+    keys = pd.DataFrame(
+        {
+            "doc_id": np.repeat(np.arange(n), 2)[1:-1],
+            "key": np.repeat(np.arange(n - 1), 2) + 10_000,
+        }
+    )
+    out = min_label_components(
+        ray.data.from_pandas(keys), n_buckets=16
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+
+
 def test_dedup_clusters_matches_transitive_closure(ray_session):
     """Engine min-label propagation == exact recursive reachability."""
     import duckdb
