@@ -42,6 +42,7 @@ def oracle_sql() -> dict[str, str]:
         fingerprint_keys_sql,
         fingerprint_sql,
         lang_id_sql,
+        repetition_signals_sql,
     )
     from rio_color_ray.stages.dedup import (
         near_dup_jaccard_sql,
@@ -61,6 +62,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from rio_color_ray.pipelines.corpus import (
         audio_frames_sql,
+        decontaminate_sql,
+        embed_quantize_sql,
         label_centroids_sql,
         media_features_sql,
         media_resize_sql,
@@ -241,4 +244,22 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": curate.tfidf_top_terms_sql(),
         "pack_sequences": curate.pack_sequences_sql(),
         "chunk_documents": curate.chunk_documents_sql(),
+        "decontaminate": decontaminate_sql(),
+        "repetition_signals": repetition_signals_sql(),
+        "mix_sources": curate.mix_sources_sql(),
+        "embed_quantize": embed_quantize_sql(),
+        # canonical corpus: the dedup_clusters closure restricted to the
+        # nodes that are their own component minimum
+        "dedup_canonical": (
+            f"WITH RECURSIVE fkeys AS ({fingerprint_keys_sql(k=2)}), "
+            "edges AS (SELECT a.doc_id AS x, b.doc_id AS y "
+            "          FROM fkeys a JOIN fkeys b USING(key) "
+            "          WHERE a.doc_id <> b.doc_id), "
+            "walk(doc_id, reach) AS ("
+            "  SELECT DISTINCT doc_id, doc_id FROM fkeys"
+            "  UNION"
+            "  SELECT w.doc_id, e.y FROM walk w JOIN edges e ON e.x = w.reach) "
+            "SELECT doc_id FROM (SELECT doc_id, min(reach) AS cluster_id "
+            "FROM walk GROUP BY doc_id) WHERE doc_id = cluster_id"
+        ),
     }

@@ -59,6 +59,93 @@ def fingerprints(sf_dir):
     return documents(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def repetition_signals(sf_dir):
+    """Gopher-style repetition quality signals per document (top-token
+    share, duplicate-3-gram share; stages/text.py). Stateless vectorized
+    map — zero exchanges at any scale."""
+    from ..stages.text import repetition_signals_batch
+
+    return documents(sf_dir).map_batches(
+        repetition_signals_batch, batch_format="pyarrow"
+    )
+
+
+DECONTAM_EVERY = 50
+
+
+def decontaminate(sf_dir, every=DECONTAM_EVERY):
+    """Benchmark decontamination: drop training documents that share ANY
+    3-gram with the held-out eval set (docs with doc_id % every == 0 —
+    the standard guard against eval leakage into pretraining data).
+
+    Scale shape: the eval set is driver-sized BY DEFINITION (benchmark
+    suites are MBs against a 100 TB corpus), so its distinct gram hashes
+    are collected once, shipped via ``ray.put`` and probed per batch
+    with one sorted-array searchsorted — the corpus itself streams
+    through a single stateless filter pass, zero exchanges. Returns the
+    clean training doc_ids.
+    """
+    import ray
+
+    from ..stages.statecache import process_cached
+    from ..stages.text import doc_gram_arrays
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        keep = did % every == 0
+        texts = [t for t, k in zip(batch.column("text").to_pylist(), keep) if k]
+        g, _ = doc_gram_arrays(texts)
+        return pa.table({"g": pa.array(np.unique(g).view(np.int64), pa.int64())})
+
+    eg = ds.map_batches(eval_grams, batch_format="pyarrow").to_pandas()["g"].to_numpy()
+    ref = ray.put(np.unique(eg.view(np.uint64)))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        grams = process_cached(
+            ("decontam_grams", ref.hex()), lambda: ray.get(ref), group="decontaminate"
+        )
+        did = batch.column("doc_id").to_numpy()
+        g, seg = doc_gram_arrays(batch.column("text").to_pylist())
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(g) and len(grams):
+            pos = np.minimum(np.searchsorted(grams, g), len(grams) - 1)
+            hit = grams[pos] == g
+            hits = np.bincount(seg[hit], minlength=batch.num_rows)
+        keep = (did % every != 0) & (hits == 0)
+        return pa.table({"doc_id": pa.array(did[keep].astype(np.int64), pa.int64())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def decontaminate_sql(every=DECONTAM_EVERY) -> str:
+    """DuckDB twin of :func:`decontaminate` (exact)."""
+    from ..stages.text import _doc_grams_sql_cte
+
+    return f"""
+WITH {_doc_grams_sql_cte()},
+eg AS (SELECT list(DISTINCT g) AS egs
+       FROM (SELECT unnest(gs) AS g FROM gr WHERE doc_id % {int(every)} = 0))
+SELECT doc_id FROM gr CROSS JOIN eg
+WHERE doc_id % {int(every)} <> 0
+  AND coalesce(len(list_intersect(gs, eg.egs)), 0) = 0
+"""
+
+
+def dedup_canonical(sf_dir):
+    """The canonical corpus after transitive near-dup clustering: one
+    representative (the min doc_id) per dedup cluster — the document set
+    a curation pipeline actually keeps. Composes dedup_clusters; the
+    representative filter is a stateless map over its output."""
+    return dedup_clusters(sf_dir).map_batches(
+        lambda df: df.loc[
+            df["doc_id"].to_numpy() == df["cluster_id"].to_numpy(), ["doc_id"]
+        ],
+        batch_format="pandas",
+    )
+
+
 # --- dedup ------------------------------------------------------------------
 
 
@@ -464,6 +551,61 @@ def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tab
         lambda df: df.rename(columns={"id_a": "vec_id_a", "id_b": "vec_id_b"}),
         batch_format="pandas",
     )
+
+
+def embed_quantize(sf_dir):
+    """Symmetric int8 quantization of the embedding column — the 4x
+    shrink a vector store applies before shipping/indexing 100 TB of
+    float32 vectors. Per vector: ``q8 = floor(v / max|v| * 127)`` in
+    float64 (IEEE-identical on both engines; float32 -> float64 is
+    exact); all-zero vectors quantize to 0. Stateless vectorized map,
+    zero exchanges. Returns (vec_id, dim, q8).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "q8": pa.array([], pa.int64()),
+                }
+            )
+        vid = batch.column("vec_id").to_numpy()
+        vecs = list_col_to_matrix(batch.column("embedding"))
+        m = np.abs(vecs).max(axis=1)
+        safe = np.where(m == 0, 1.0, m)
+        q = np.floor(vecs / safe[:, None] * 127.0)
+        q[m == 0] = 0.0
+        dim = vecs.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, dim).astype(np.int64), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(vid)), pa.int64()),
+                "q8": pa.array(q.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def embed_quantize_sql() -> str:
+    """DuckDB twin of :func:`embed_quantize` (exact: float32 -> float64
+    is exact, and /, *, floor are IEEE-identical elementwise)."""
+    return """
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(CASE WHEN m = 0 THEN 0
+            ELSE floor(CAST(e AS DOUBLE) / m * 127) END AS BIGINT) AS q8
+FROM (
+  SELECT vec_id, unnest(embedding) AS e,
+         generate_subscripts(embedding, 1) AS i,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM embeddings
+)
+"""
 
 
 # --- multimodal -------------------------------------------------------------

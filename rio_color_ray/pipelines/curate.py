@@ -315,6 +315,97 @@ TFIDF_TOP_M = 3
 TFIDF_WEIGHT_PPM_CAP = 10**12
 
 
+MIX_SALT = 0x4D49_5853_5243  # distinct hash stream per decision ('MIXSRC')
+
+
+def mix_sources(sf_dir):
+    """Deterministic source-mixture rebalancing: down-sample every source
+    to the SMALLEST source's whitespace-token total (an equal-token
+    mixture — the data-mixing step of a pretraining pipeline), keeping
+    doc ``d`` of source ``s`` iff
+    ``splitmix64(doc_id ^ MIX_SALT) % 1e6 < keep_ppm[s]`` with
+    ``keep_ppm[s] = (min_tokens * 1e6) // tokens[s]`` (the smallest
+    source keeps everything). Returns (doc_id, source) of kept docs.
+
+    Scale shape: phase 1 is a source-cardinality aggregate (per-batch
+    partial sums, then a groupby over a handful of source keys); phase 2
+    is a stateless hash filter with the tiny keep_ppm table captured by
+    value — the corpus itself never shuffles, and the decision is stable
+    under repartition/resume (pure function of doc_id). keep_ppm is
+    computed in arbitrary-precision Python ints and HUGEINT in the twin,
+    so min_tokens * 1e6 cannot overflow at any corpus size.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.sampling import splitmix64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def partial_tokens(batch: pa.Table) -> pd.DataFrame:
+        n = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\S+"), pa.int64()
+        ).to_numpy()
+        df = pd.DataFrame(
+            {"source": batch.column("source").to_pandas().to_numpy(), "toks": n}
+        )
+        return df.groupby("source", as_index=False)["toks"].sum()
+
+    totals = (
+        ds.map_batches(partial_tokens, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("toks", alias_name="toks"))
+        .to_pandas()  # source-cardinality rows
+    )
+    min_toks = int(totals["toks"].min())
+    keep_ppm = {
+        s: (min_toks * 1_000_000) // int(t)
+        for s, t in zip(totals["source"], totals["toks"])
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.uint64)
+        u = (splitmix64(ids ^ np.uint64(MIX_SALT)) % np.uint64(1_000_000)).astype(
+            np.int64
+        )
+        src = batch.column("source").to_pandas().to_numpy()
+        limit = pd.Series(src).map(keep_ppm).to_numpy()
+        mask = u < limit
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(mask)),
+                "source": batch.column("source").filter(pa.array(mask)),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mix_sources_sql() -> str:
+    """DuckDB twin of :func:`mix_sources` (exact)."""
+    from ..stages.sampling import splitmix64_sql
+
+    h = splitmix64_sql(f"xor(CAST(doc_id AS HUGEINT), {int(MIX_SALT)})")
+    return f"""
+WITH tt AS (
+  SELECT source, sum(len(regexp_extract_all(text, '\\S+'))) AS toks
+  FROM documents GROUP BY source
+),
+kp AS (
+  SELECT source,
+         (SELECT CAST(min(toks) AS HUGEINT) FROM tt) * 1000000 // toks AS keep_ppm
+  FROM tt
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN kp USING (source)
+WHERE ({h}) % 1000000 < kp.keep_ppm
+"""
+
+
 def tfidf_top_terms(sf_dir, k_vocab=VOCAB_K, m=TFIDF_TOP_M):
     """Top-``m`` most characteristic vocab terms per document by an
     integer-exact TF-IDF-ish score.

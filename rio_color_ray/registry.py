@@ -46,6 +46,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": curate.tfidf_top_terms,
         "pack_sequences": curate.pack_sequences,
         "chunk_documents": curate.chunk_documents,
+        "decontaminate": corpus.decontaminate,
+        "dedup_canonical": corpus.dedup_canonical,
+        "repetition_signals": corpus.repetition_signals,
+        "mix_sources": curate.mix_sources,
+        "embed_quantize": corpus.embed_quantize,
         # text analysis
         "token_counts": corpus.token_counts,
         "token_counts_bpe": corpus.token_counts_bpe,

@@ -330,6 +330,134 @@ def fingerprint_keys_batch(batch: pa.Table, k: int = 2) -> pa.Table:
     )
 
 
+def doc_gram_arrays(texts):
+    """Flat per-doc gram hashes under the fingerprint scheme.
+
+    Rolling 3-gram hashes for docs with >= 3 tokens, the token hashes
+    themselves for 1-2-token docs, nothing for empty docs — exactly the
+    value set :func:`fingerprint_keys_batch` ranks, shared by the
+    decontamination and repetition-signal operators so their SQL twins
+    reuse the same CASE. Returns ``(grams, segs)``: a flat uint64 array
+    and the doc index of each gram.
+    """
+    token_lists = [t.split() for t in texts]
+    counts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
+    flat = [w for toks in token_lists for w in toks]
+    if not flat:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    h = token_hashes(flat)
+    seg = np.repeat(np.arange(len(texts)), counts)
+    g = np.zeros_like(h)
+    valid3 = np.zeros(len(h), dtype=bool)
+    if len(h) >= 3:
+        g[:-2] = h[:-2] * _FP_P1 + h[1:-1] * _FP_P2 + h[2:]
+        valid3[:-2] = seg[:-2] == seg[2:]
+    use_tokens = (counts > 0) & (counts < 3)
+    elem_mask = valid3 | use_tokens[seg]
+    return np.where(use_tokens[seg], h, g)[elem_mask], seg[elem_mask]
+
+
+def repetition_signals_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signals, integer-exact.
+
+    Per document: ``n_tokens``, ``n_distinct_tokens``,
+    ``top_token_ppm`` (most frequent token's share of all tokens, ppm,
+    floor) and ``dup_gram_ppm`` (share of 3-grams that are repeats of an
+    earlier distinct gram, ppm, floor) — the standard
+    repetitive-boilerplate filters of an LLM curation pipeline. One
+    token-hash pass + two lexsorts per batch; no per-document loop.
+    Token identity is the polynomial hash (shared with the SQL twin).
+    """
+    texts = batch.column("text").to_pylist()
+    n = len(texts)
+    token_lists = [t.split() for t in texts]
+    counts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
+    flat = [w for toks in token_lists for w in toks]
+
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    if flat:
+        h = token_hashes(flat)
+        seg = np.repeat(np.arange(n), counts)
+        order = np.lexsort((h, seg))
+        hs, ss = h[order], seg[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ss[1:] != ss[:-1])
+        n_distinct = np.bincount(ss[first], minlength=n).astype(np.int64)
+        starts = np.flatnonzero(first)
+        run_lens = np.diff(np.append(starts, len(hs)))
+        np.maximum.at(top, ss[first], run_lens)
+
+    grams, gseg = doc_gram_arrays(texts)
+    n_grams = np.bincount(gseg, minlength=n).astype(np.int64)
+    n_distinct_grams = np.zeros(n, dtype=np.int64)
+    if len(grams):
+        order = np.lexsort((grams, gseg))
+        gs, ss = grams[order], gseg[order]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+        n_distinct_grams = np.bincount(ss[first], minlength=n).astype(np.int64)
+
+    top_ppm = np.where(counts > 0, (top * 1_000_000) // np.maximum(counts, 1), 0)
+    dup_ppm = np.where(
+        n_grams > 0,
+        ((n_grams - n_distinct_grams) * 1_000_000) // np.maximum(n_grams, 1),
+        0,
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(counts, pa.int64()),
+            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+            "top_token_ppm": pa.array(top_ppm.astype(np.int64), pa.int64()),
+            "dup_gram_ppm": pa.array(dup_ppm.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _doc_grams_sql_cte() -> str:
+    """Shared th + gr CTE bodies: per-doc token-hash list ``hs`` and gram
+    list ``gs`` (the SQL twin of :func:`doc_gram_arrays`)."""
+    mod64 = 1 << 64
+    return f"""
+th AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\\S+'),
+    t -> list_reduce(
+           list_prepend(CAST({int(_FP_H0)} AS HUGEINT),
+             list_transform(regexp_extract_all(t, '.'), c -> CAST(unicode(c) AS HUGEINT))),
+           (a, b) -> (a * {int(_FP_B)} + b) % {mod64}::HUGEINT)) AS hs
+  FROM documents
+),
+gr AS (
+  SELECT doc_id, hs, CASE WHEN len(hs) < 3 THEN hs
+    ELSE list_transform(range(1, len(hs) - 1),
+           i -> (hs[i] * {int(_FP_P1)} + hs[i+1] * {int(_FP_P2)} + hs[i+2])
+                % {mod64}::HUGEINT)
+  END AS gs
+  FROM th
+)"""
+
+
+def repetition_signals_sql() -> str:
+    """DuckDB twin of :func:`repetition_signals_batch` (exact)."""
+    return f"""
+WITH {_doc_grams_sql_cte()},
+tok AS (SELECT doc_id, unnest(hs) AS h FROM th),
+tc AS (SELECT doc_id, h, count(*) AS c FROM tok GROUP BY 1, 2),
+topc AS (SELECT doc_id, max(c) AS topc FROM tc GROUP BY 1)
+SELECT gr.doc_id,
+       CAST(len(hs) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_tokens,
+       CAST(CASE WHEN len(hs) = 0 THEN 0
+            ELSE (coalesce(topc.topc, 0) * 1000000) // len(hs) END AS BIGINT)
+         AS top_token_ppm,
+       CAST(CASE WHEN len(gs) = 0 THEN 0
+            ELSE ((len(gs) - len(list_distinct(gs))) * 1000000) // len(gs) END
+         AS BIGINT) AS dup_gram_ppm
+FROM gr LEFT JOIN topc USING (doc_id)
+"""
+
+
 def fingerprint_keys_sql(k: int = 2) -> str:
     """DuckDB twin of :func:`fingerprint_keys_batch` (exact)."""
     mod64, mod63 = 1 << 64, 1 << 63

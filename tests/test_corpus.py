@@ -617,6 +617,54 @@ def test_min_label_components_long_chain(ray_session):
     assert (out["cluster_id"] == 0).all()
 
 
+def test_repetition_signals_values(ray_session):
+    """Hand-computed repetition metrics (integer ppm, floor)."""
+    from rio_color_ray.stages.text import repetition_signals_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": ["a a a b", "a a a a", "x y", ""],
+        }
+    )
+    out = repetition_signals_batch(t).to_pydict()
+    assert out["n_tokens"] == [4, 4, 2, 0]
+    assert out["n_distinct_tokens"] == [2, 1, 2, 0]
+    assert out["top_token_ppm"] == [750000, 1000000, 500000, 0]
+    # grams: 'a a a b' -> (aaa, aab) distinct -> 0; 'a a a a' -> (aaa, aaa)
+    # -> 1 of 2 duplicated -> 500000; 'x y' -> token fallback, distinct
+    assert out["dup_gram_ppm"] == [0, 500000, 0, 0]
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """Doc 0 is the eval set (doc_id % 50 == 0); training docs sharing
+    any 3-gram with it are dropped, the rest survive."""
+    from rio_color_ray.pipelines.corpus import decontaminate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "alpha beta gamma delta",
+                "zzz alpha beta gamma qqq",  # shares gram 'alpha beta gamma'
+                "one two three four",  # clean
+                "beta gamma alpha",  # same tokens, different gram
+            ],
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = sorted(decontaminate(str(tmp_path)).to_pandas()["doc_id"])
+    assert out == [2, 3]
+
+
+def test_dedup_canonical_is_cluster_minima(ray_session):
+    from rio_color_ray.pipelines.corpus import dedup_canonical, dedup_clusters
+
+    clusters = dedup_clusters(SF).to_pandas()
+    got = sorted(dedup_canonical(SF).to_pandas()["doc_id"])
+    assert got == sorted(clusters["cluster_id"].unique())
+
+
 def test_dedup_clusters_matches_transitive_closure(ray_session):
     """Engine min-label propagation == exact recursive reachability."""
     import duckdb
@@ -648,3 +696,44 @@ def test_dedup_clusters_matches_transitive_closure(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # sanity: real multi-hop clusters exist at this scale
     assert got.cluster_id.nunique() < len(got)
+
+
+def test_embed_quantize_values(ray_session, tmp_path):
+    """Hand-computed int8 quantization incl. the all-zero guard."""
+    from rio_color_ray.pipelines.corpus import embed_quantize
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0, -1.0, 0.5], [0.0, 0.0, 0.0, 0.0]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    out = (
+        embed_quantize(str(tmp_path))
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    assert out["q8"].tolist() == [127, 0, -127, 63, 0, 0, 0, 0]
+
+
+def test_embed_quantize_oracle(ray_session):
+    """Engine int8 quantization vs the DuckDB float64 twin, bit-exact."""
+    import duckdb
+
+    from rio_color_ray.pipelines.corpus import embed_quantize, embed_quantize_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    got = (
+        embed_quantize(SF).to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    )
+    exp = con.sql(embed_quantize_sql()).df().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["q8"].between(-127, 127).all()

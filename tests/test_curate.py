@@ -219,3 +219,43 @@ def test_chunk_documents(ray_session, con):
     assert (within["tok_start"].diff().dropna() == stride).all()
     assert (g["tok_end"] - g["tok_start"] <= curate.CHUNK_SIZE).all()
     assert (g["tok_end"] > g["tok_start"]).sum() >= (g["tok_end"] >= 0).sum() - 1
+
+
+def test_mix_sources(ray_session, con):
+    """Equal-token source mixture vs its splitmix64 SQL twin, value-exact;
+    the smallest source keeps everything, larger sources are downsampled."""
+    from rio_color_ray.pipelines import curate
+
+    out = _check(curate.mix_sources(SF), con, curate.mix_sources_sql())
+    full = con.sql(
+        "SELECT source, count(*) AS n, "
+        "sum(len(regexp_extract_all(text, '\\S+'))) AS toks "
+        "FROM documents GROUP BY source"
+    ).df()
+    kept = out["source"].value_counts().to_dict()
+    smallest = full.loc[full["toks"].idxmin(), "source"]
+    n_by_source = dict(zip(full["source"], full["n"]))
+    assert kept.get(smallest, 0) == n_by_source[smallest]
+    assert any(kept.get(s, 0) < n_by_source[s] for s in n_by_source if s != smallest)
+
+
+def test_repetition_signals_oracle(ray_session, con):
+    """Engine repetition metrics vs the DuckDB list-function twin."""
+    from rio_color_ray.pipelines.corpus import repetition_signals
+    from rio_color_ray.stages.text import repetition_signals_sql
+
+    out = _check(repetition_signals(SF), con, repetition_signals_sql())
+    assert (out["n_distinct_tokens"] <= out["n_tokens"]).all()
+    assert out["dup_gram_ppm"].between(0, 1_000_000).all()
+
+
+def test_decontaminate_oracle(ray_session, con):
+    """Engine decontamination vs the DuckDB gram-intersection twin; the
+    eval docs themselves are never in the output."""
+    from rio_color_ray.pipelines.corpus import DECONTAM_EVERY, decontaminate
+    from rio_color_ray.pipelines.corpus import decontaminate_sql
+
+    out = _check(decontaminate(SF), con, decontaminate_sql())
+    assert (out["doc_id"] % DECONTAM_EVERY != 0).all()
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(out) < n_docs
