@@ -195,11 +195,18 @@ def run_scaling(lo=2, hi=8):
     tp_lo = r_lo["rows_joined_tiled_per_sec"]
     tp_hi = r_hi["rows_joined_tiled_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    # median-based twin: min-of-N assumes interference is strictly
+    # additive, but a small (2-CPU) child on a quiet box can EXCEED its
+    # slot accounting (measured 18.7k rows/s once — ~3.4 effective
+    # CPUs), deflating the min-based ratio; the per-child median is
+    # robust in both directions (BASELINE.md round-3 notes)
+    eff_med = (r_lo["sec_median"] / r_hi["sec_median"]) / (hi / lo)
     print(
         json.dumps(
             {
                 "metric": f"scaling_efficiency_{lo}_to_{hi}",
                 "value": round(eff, 3),
+                "value_median_based": round(eff_med, 3),
                 "unit": "efficiency",
                 f"sec_{lo}": r_lo["sec"],
                 f"sec_{hi}": r_hi["sec"],
