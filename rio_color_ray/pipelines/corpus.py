@@ -264,17 +264,14 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
                 {"url_a": pd.Series([], dtype=str), "url_b": pd.Series([], dtype=str)}
             )
         from ..stages.dedup import shingle_hash_arrays
+        from ..stages.text import segment_distinct
 
         n = len(batch)
 
         def distinct_per_pair(texts):
             g, counts = shingle_hash_arrays(list(texts))
             seg = np.repeat(np.arange(len(counts)), counts)
-            order = np.lexsort((g, seg))
-            gs, ss = g[order], seg[order]
-            first = np.ones(len(gs), dtype=bool)
-            first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
-            return gs[first], ss[first]
+            return segment_distinct(g, seg)
 
         da, sa = distinct_per_pair(batch["text_a"])
         db, sb = distinct_per_pair(batch["text_b"])

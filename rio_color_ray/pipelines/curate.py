@@ -361,9 +361,14 @@ def mix_sources(sf_dir):
         .aggregate(Sum("toks", alias_name="toks"))
         .to_pandas()  # source-cardinality rows
     )
-    min_toks = int(totals["toks"].min())
+    # zero-token sources (all-empty texts after aggressive stripping)
+    # keep nothing and are excluded from the mixture minimum — without
+    # the guard min_toks = 0 would zero every source (and the division
+    # would crash on the empty one); the SQL twin mirrors both rules
+    nonzero = totals.loc[totals["toks"] > 0, "toks"]
+    min_toks = int(nonzero.min()) if len(nonzero) else 0
     keep_ppm = {
-        s: (min_toks * 1_000_000) // int(t)
+        s: 0 if int(t) == 0 else (min_toks * 1_000_000) // int(t)
         for s, t in zip(totals["source"], totals["toks"])
     }
 
@@ -382,7 +387,13 @@ def mix_sources(sf_dir):
             }
         )
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    # phase 2 re-reads WITHOUT text: the filter only touches
+    # doc_id/source, and Ray cannot prune columns through a black-box
+    # UDF — re-scanning the corpus' dominant column would double the I/O
+    ds_ids = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return ds_ids.map_batches(keep, batch_format="pyarrow")
 
 
 def mix_sources_sql() -> str:
@@ -397,7 +408,10 @@ WITH tt AS (
 ),
 kp AS (
   SELECT source,
-         (SELECT CAST(min(toks) AS HUGEINT) FROM tt) * 1000000 // toks AS keep_ppm
+         CASE WHEN toks = 0 THEN 0
+              ELSE (SELECT CAST(min(toks) FILTER (WHERE toks > 0) AS HUGEINT)
+                    FROM tt) * 1000000 // toks
+         END AS keep_ppm
   FROM tt
 )
 SELECT d.doc_id, d.source

@@ -260,7 +260,10 @@ def _hex_string_array(arr: pa.Array) -> pa.Array:
     n = len(arr)
     if n == 0:
         return pa.array([], pa.string())
-    offsets = np.frombuffer(arr.buffers()[1], np.int32)[
+    if arr.null_count:
+        raise ValueError("_hex_string_array: null pixel rows are not expected")
+    odtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], odtype)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], np.uint8)[offsets[0] : offsets[-1]]

@@ -140,6 +140,10 @@ def sample_embeddings_spread(path, sample_n, seed=2024, max_row_groups=16,
 
     pf = pq.ParquetFile(path)
     n_rg = pf.metadata.num_row_groups
+    if n_rg == 0 or pf.metadata.num_rows == 0:
+        raise ValueError(
+            f"sample_embeddings_spread: {path} has no rows — cannot train centroids"
+        )
     rng = np.random.default_rng(seed)
     groups = np.sort(rng.choice(n_rg, size=min(n_rg, max_row_groups), replace=False))
     quota = -(-sample_n // len(groups))  # ceil

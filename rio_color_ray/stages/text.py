@@ -286,31 +286,15 @@ def fingerprint_keys_batch(batch: pa.Table, k: int = 2) -> pa.Table:
     """
     texts = batch.column("text").to_pylist()
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    token_lists = [t.split() for t in texts]
-    counts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
-    flat = [w for toks in token_lists for w in toks]
 
-    out_doc = [np.asarray(doc_ids[counts == 0], dtype=np.int64)]
-    out_key = [np.zeros(int((counts == 0).sum()), dtype=np.uint64)]
-    if flat:
-        h = token_hashes(flat)
-        seg = np.repeat(np.arange(len(texts)), counts)
-        g = np.zeros_like(h)
-        valid3 = np.zeros(len(h), dtype=bool)
-        if len(h) >= 3:
-            g[:-2] = h[:-2] * _FP_P1 + h[1:-1] * _FP_P2 + h[2:]
-            valid3[:-2] = seg[:-2] == seg[2:]
-        # per element, the value that represents its doc: gram hashes for
-        # docs with >= 3 tokens, token hashes for 1-2-token docs
-        use_tokens = (counts > 0) & (counts < 3)
-        elem_mask = valid3 | use_tokens[seg]
-        vals = np.where(use_tokens[seg], h, g)[elem_mask]
-        segs = seg[elem_mask]
-        order = np.lexsort((vals, segs))
-        vs, ss = vals[order], segs[order]
-        first = np.ones(len(vs), dtype=bool)
-        first[1:] = (vs[1:] != vs[:-1]) | (ss[1:] != ss[:-1])
-        dv, dseg = vs[first], ss[first]
+    vals, segs = doc_gram_arrays(texts)
+    # empty docs (no grams at all) emit key 0
+    has = np.zeros(len(texts), dtype=bool)
+    has[segs] = True
+    out_doc = [np.asarray(doc_ids[~has], dtype=np.int64)]
+    out_key = [np.zeros(int((~has).sum()), dtype=np.uint64)]
+    if len(vals):
+        dv, dseg = segment_distinct(vals, segs)
         pos = np.arange(len(dseg))
         is_start = np.ones(len(dseg), dtype=bool)
         is_start[1:] = dseg[1:] != dseg[:-1]
@@ -328,6 +312,20 @@ def fingerprint_keys_batch(batch: pa.Table, k: int = 2) -> pa.Table:
             ),
         }
     )
+
+
+def segment_distinct(vals, segs):
+    """Per-segment distinct values via one lexsort + boundary mask.
+
+    Returns ``(distinct_vals, their_segs)`` sorted by (segment, value) —
+    the shared idiom of the dedup/quality/verify stages (one copy, so
+    the oracle-equivalent definitions cannot drift).
+    """
+    order = np.lexsort((vals, segs))
+    vs, ss = vals[order], segs[order]
+    first = np.ones(len(vs), dtype=bool)
+    first[1:] = (vs[1:] != vs[:-1]) | (ss[1:] != ss[:-1])
+    return vs[first], ss[first]
 
 
 def doc_gram_arrays(texts):
@@ -379,6 +377,8 @@ def repetition_signals_batch(batch: pa.Table) -> pa.Table:
     if flat:
         h = token_hashes(flat)
         seg = np.repeat(np.arange(n), counts)
+        # distinct + run lengths in one sorted pass (run length = count
+        # of each distinct token, so max run per doc = top-token count)
         order = np.lexsort((h, seg))
         hs, ss = h[order], seg[order]
         first = np.ones(len(hs), dtype=bool)
@@ -392,11 +392,8 @@ def repetition_signals_batch(batch: pa.Table) -> pa.Table:
     n_grams = np.bincount(gseg, minlength=n).astype(np.int64)
     n_distinct_grams = np.zeros(n, dtype=np.int64)
     if len(grams):
-        order = np.lexsort((grams, gseg))
-        gs, ss = grams[order], gseg[order]
-        first = np.ones(len(gs), dtype=bool)
-        first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
-        n_distinct_grams = np.bincount(ss[first], minlength=n).astype(np.int64)
+        _, dss = segment_distinct(grams, gseg)
+        n_distinct_grams = np.bincount(dss, minlength=n).astype(np.int64)
 
     top_ppm = np.where(counts > 0, (top * 1_000_000) // np.maximum(counts, 1), 0)
     dup_ppm = np.where(
