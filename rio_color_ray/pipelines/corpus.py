@@ -233,17 +233,26 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
 
         return fn
 
+    # explicit schemas: both left sides end in an all-to-all (the
+    # candidate groupby / join 1), so a Dataset.schema() probe would
+    # silently re-execute that whole stage once before the join runs it
+    # again (the trap documented on bucketed_hash_join)
+    ids = pa.string()
     j = bucketed_hash_join(
         cand_ds.map_batches(rekey("id_a"), batch_format="pyarrow"),
         docs_ds.map_batches(docs_keyed("a"), batch_format="pyarrow"),
         "k",
         n_buckets=n_buckets,
+        left_schema={"k": pa.int64(), "id_a": ids, "id_b": ids},
+        right_schema={"k": pa.int64(), "text_a": pa.string()},
     ).drop_columns(["k"])
     j = bucketed_hash_join(
         j.map_batches(rekey("id_b"), batch_format="pyarrow"),
         docs_ds.map_batches(docs_keyed("b"), batch_format="pyarrow"),
         "k",
         n_buckets=n_buckets,
+        left_schema={"k": pa.int64(), "id_a": ids, "id_b": ids, "text_a": pa.string()},
+        right_schema={"k": pa.int64(), "text_b": pa.string()},
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
