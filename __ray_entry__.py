@@ -61,6 +61,7 @@ def oracle_sql() -> dict[str, str]:
         render_tiles_content_sql,
     )
     from rio_color_ray.pipelines.corpus import (
+        ann_topk_filtered_sql,
         audio_frames_sql,
         decontaminate_sql,
         embed_quantize_sql,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": repetition_signals_sql(),
         "mix_sources": curate.mix_sources_sql(),
         "embed_quantize": embed_quantize_sql(),
+        "ann_topk_filtered": ann_topk_filtered_sql(),
         # canonical corpus: the dedup_clusters closure restricted to the
         # nodes that are their own component minimum
         "dedup_canonical": (

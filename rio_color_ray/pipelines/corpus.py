@@ -399,19 +399,23 @@ def near_dup_pairs_simhash(sf_dir, replicate=2, max_hamming=3):
 # --- similarity search ------------------------------------------------------
 
 
-def _query_vectors(sf_dir, n_queries):
+def _query_vectors(sf_dir, n_queries, with_labels=False):
     """Driver-side query set: row-filter pushed into the Parquet read so
     only the n_queries rows (not the 100 TB table) reach the driver."""
     import pyarrow.parquet as pq
 
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
+        columns=cols,
         filters=[("vec_id", "<", n_queries)],
     )
     vid = t.column("vec_id").to_numpy()
     order = np.argsort(vid)
     mat = np.stack(np.asarray(t.column("embedding").to_pylist(), dtype=object)[order])
+    if with_labels:
+        labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        return vid[order], mat.astype(np.float64), labels[order]
     return vid[order], mat.astype(np.float64)
 
 
@@ -425,6 +429,39 @@ def ann_topk(sf_dir, k=10, n_queries=8, concurrency=4):
     return partial.groupby("query_id").map_groups(
         lambda g: ann_topk_reduce(g, k), batch_format="pandas"
     )
+
+
+def ann_topk_filtered(sf_dir, k=10, n_queries=8, concurrency=4):
+    """Metadata-FILTERED exact cosine top-k: each query only matches
+    table vectors sharing its ``label`` (the filtered-vector-search shape
+    every production store needs — category/tenant/language scoping).
+    The filter is a vectorized mask inside the same broadcast matmul
+    pass, so the scan cost is identical to unfiltered brute search."""
+    qid, qmat, qlab = _query_vectors(sf_dir, n_queries, with_labels=True)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    partial = ds.map_batches(
+        make_stage_fn(AnnBruteStage, qid, qmat, k, query_labels=qlab),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: ann_topk_reduce(g, k), batch_format="pandas"
+    )
+
+
+def ann_topk_filtered_sql(k=10, n_queries=8) -> str:
+    """DuckDB twin of :func:`ann_topk_filtered` (exact under the shared
+    round-6 ranking contract)."""
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < {int(n_queries)})
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.qid AS query_id, e.vec_id AS vec_id,
+         row_number() OVER (PARTITION BY q.qid ORDER BY
+           round(list_cosine_similarity(e.embedding, q.qe), 6) DESC,
+           e.vec_id) AS rank
+  FROM embeddings e JOIN q ON e.label = q.ql WHERE e.vec_id <> q.qid
+) WHERE rank <= {int(k)}
+"""
 
 
 def ann_topk_ivf(sf_dir, k=10, n_queries=8, n_cells=16, n_probe=6, sample_n=512,

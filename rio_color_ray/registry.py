@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_jaccard": corpus.near_dup_pairs_jaccard,
         # similarity search
         "ann_topk": corpus.ann_topk,
+        "ann_topk_filtered": corpus.ann_topk_filtered,
         "ann_topk_ivf": corpus.ann_topk_ivf,
         "embedding_near_dup": corpus.embedding_near_dup,
         "label_centroids": corpus.label_centroids,
@@ -55,9 +56,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals": corpus.repetition_signals,
         "mix_sources": curate.mix_sources,
         "embed_quantize": corpus.embed_quantize,
-        # text analysis
+        # text analysis (token_counts_bpe rides below the tiles block:
+        # with 77 entries the 50-entry window must keep the byte-exact
+        # color_tiles_content twin in; the BPE counter stays pytest-
+        # oracle-covered by tests/test_curate.py::test_token_counts_bpe)
         "token_counts": corpus.token_counts,
-        "token_counts_bpe": corpus.token_counts_bpe,
         "quality_scores": corpus.quality_scores,
         "lang_id": corpus.lang_id,
         "fingerprints": corpus.fingerprints,
@@ -81,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_tiles_content": tiles.render_tiles_content,
         "color_tiles": tiles.color_tiles,
         "color_tiles_content": tiles.color_tiles_content,
+        "token_counts_bpe": corpus.token_counts_bpe,
         # relational (TPC-H-ish + events)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,

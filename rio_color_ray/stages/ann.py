@@ -67,15 +67,25 @@ def _exclude_self(scores, ids, qid_sorted, qid_cols):
 
 
 class AnnBruteStage:
-    """map_batches actor: per-batch cosine top-k against broadcast queries."""
+    """map_batches actor: per-batch cosine top-k against broadcast queries.
 
-    def __init__(self, query_ids, query_matrix, k, id_col="vec_id", vec_col="embedding"):
+    ``query_labels`` (optional, parallel to ``query_ids``) turns the
+    stage into METADATA-FILTERED search: a table row only scores for
+    queries sharing its ``label_col`` value (the filtered-ANN shape of a
+    vector store — the filter applies inside the same matmul pass, no
+    extra scan).
+    """
+
+    def __init__(self, query_ids, query_matrix, k, id_col="vec_id", vec_col="embedding",
+                 query_labels=None, label_col="label"):
         self.qid = np.asarray(query_ids, dtype=np.int64)
         q = np.asarray(query_matrix, dtype=np.float64)
         self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        self.qlabel = None if query_labels is None else np.asarray(query_labels, np.int64)
+        self.label_col = label_col
         self._qid_sorted, self._qid_cols = _self_exclusion_index(self.qid)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -85,6 +95,9 @@ class AnnBruteStage:
         vecs = list_col_to_matrix(batch.column(self.vec_col))
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         scores = vecs @ self.q.T  # (batch, queries)
+        if self.qlabel is not None:
+            labels = batch.column(self.label_col).to_numpy(zero_copy_only=False)
+            scores[labels[:, None].astype(np.int64) != self.qlabel[None, :]] = -np.inf
         _exclude_self(scores, ids, self._qid_sorted, self._qid_cols)
         k = min(self.k, scores.shape[0])
         idx = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, queries)

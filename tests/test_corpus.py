@@ -737,3 +737,32 @@ def test_embed_quantize_oracle(ray_session):
     exp = con.sql(embed_quantize_sql()).df().sort_values(["vec_id", "dim"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got["q8"].between(-127, 127).all()
+
+
+def test_ann_topk_filtered(ray_session):
+    """Filtered ANN vs the label-scoped DuckDB twin, value-exact; every
+    result must share its query's label."""
+    import duckdb
+
+    from rio_color_ray.pipelines.corpus import ann_topk_filtered, ann_topk_filtered_sql
+
+    got = (
+        ann_topk_filtered(SF, k=10, n_queries=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    exp = (
+        con.sql(ann_topk_filtered_sql())
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    lab = con.sql("SELECT vec_id, label FROM embeddings").df()
+    lab = dict(zip(lab["vec_id"], lab["label"]))
+    assert all(lab[q] == lab[v] for q, v in zip(got["query_id"], got["vec_id"]))
