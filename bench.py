@@ -182,8 +182,20 @@ def run_scaling(lo=2, hi=8):
     def run(ncpu):
         # eff measured 0.45 busy vs 0.89 quiet for identical code
         _settle(max_wait=180)
+        # PIN the child (and everything it forks — Ray workers, object
+        # store) to exactly ncpu cores: ray.init(num_cpus=N) only bounds
+        # task SLOTS, and on a quiet box a 2-slot session's auxiliary
+        # threads opportunistically exceed them (measured 18.2k rows/s
+        # at "2 CPUs" — ~3.3 effective cores), which deflates the
+        # efficiency ratio. Affinity makes "N CPUs" physically true,
+        # which is what the N-vs-4N-node criterion models.
+        import shutil
+
+        cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)],
+            cmd,
             env=dict(os.environ),
             capture_output=True,
             text=True,

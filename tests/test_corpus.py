@@ -766,3 +766,29 @@ def test_ann_topk_filtered(ray_session):
     lab = con.sql("SELECT vec_id, label FROM embeddings").df()
     lab = dict(zip(lab["vec_id"], lab["label"]))
     assert all(lab[q] == lab[v] for q, v in zip(got["query_id"], got["vec_id"]))
+
+
+def test_hex_string_array_large_binary(ray_session):
+    """The hex kernel must parse 64-bit offsets when the column arrives
+    as large_binary (and match bytes.hex exactly on both layouts)."""
+    from rio_color_ray.pipelines.tiles import _hex_string_array
+
+    payloads = [b"\x00\xffab", b"", b"\x10\x20\x30"]
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(payloads, typ)
+        got = _hex_string_array(arr).to_pylist()
+        assert got == [p.hex() for p in payloads]
+    # sliced arrays use the offset-aware path
+    arr = pa.array(payloads * 2, pa.binary()).slice(2, 3)
+    assert _hex_string_array(arr).to_pylist() == [p.hex() for p in (payloads * 2)[2:5]]
+
+
+def test_sample_embeddings_spread_empty_file(ray_session, tmp_path):
+    from rio_color_ray.stages.ann import sample_embeddings_spread
+
+    path = os.path.join(tmp_path, "embeddings.parquet")
+    pq.write_table(
+        pa.table({"embedding": pa.array([], pa.list_(pa.float32()))}), path
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        sample_embeddings_spread(path, 16)

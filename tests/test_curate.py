@@ -259,3 +259,38 @@ def test_decontaminate_oracle(ray_session, con):
     assert (out["doc_id"] % DECONTAM_EVERY != 0).all()
     n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
     assert 0 < len(out) < n_docs
+
+
+def test_mix_sources_zero_token_source(ray_session, tmp_path):
+    """A source whose documents are all empty keeps nothing and is
+    excluded from the mixture minimum (no ZeroDivisionError), on both
+    engines."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rio_color_ray.pipelines import curate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "source": ["empty"] * 2 + ["big"] * 4 + ["small"] * 2,
+            "text": ["", "  "] + ["w1 w2 w3 w4 w5 w6"] * 4 + ["a b c"] * 2,
+        }
+    )
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = curate.mix_sources(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+    )
+    exp = con.sql(curate.mix_sources_sql()).df()
+    a = out.sort_values(["doc_id"]).reset_index(drop=True)
+    b = exp[a.columns].sort_values(["doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert "empty" not in set(out["source"])
+    # the smallest nonzero source keeps all its docs
+    assert (out["source"] == "small").sum() == 2
