@@ -188,12 +188,27 @@ def run_scaling(lo=2, hi=8):
         # threads opportunistically exceed them (measured 18.2k rows/s
         # at "2 CPUs" — ~3.3 effective cores), which deflates the
         # efficiency ratio. Affinity makes "N CPUs" physically true,
-        # which is what the N-vs-4N-node criterion models.
+        # which is what the N-vs-4N-node criterion models. The pin set
+        # is the LAST N CPUs of this process's ALLOWED set (never a
+        # hardcoded 0..N-1): it survives cgroup/cpuset restrictions and
+        # keeps CPU0 — the kernel's housekeeping core — out of BOTH
+        # children, so the small child isn't asymmetrically taxed (this
+        # box has no SMT: 1 thread/core, so N CPUs = N physical cores).
         import shutil
 
         cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(ncpu)]
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        allowed = sorted(os.sched_getaffinity(0))
+        if shutil.which("taskset") and len(allowed) >= ncpu:
+            pin = ",".join(str(c) for c in allowed[-ncpu:])
+            cmd = ["taskset", "-c", pin] + cmd
+            print(f"pinning {ncpu}-CPU child to CPUs {pin}", file=sys.stderr)
+        else:
+            print(
+                f"WARNING: running {ncpu}-CPU child UNPINNED "
+                f"(taskset={'yes' if shutil.which('taskset') else 'no'}, "
+                f"allowed={len(allowed)})",
+                file=sys.stderr,
+            )
         out = subprocess.run(
             cmd,
             env=dict(os.environ),

@@ -414,12 +414,14 @@ def _query_vectors(sf_dir, n_queries, with_labels=False):
     order = np.argsort(vid)
     mat = np.stack(np.asarray(t.column("embedding").to_pylist(), dtype=object)[order])
     if with_labels:
+        if t.column("label").null_count:
+            raise ValueError("query vectors with null labels are not supported")
         labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
         return vid[order], mat.astype(np.float64), labels[order]
     return vid[order], mat.astype(np.float64)
 
 
-def ann_topk(sf_dir, k=10, n_queries=8, concurrency=4):
+def ann_topk(sf_dir, k=10, n_queries=8):
     """Exact brute-force cosine top-k (query side broadcast)."""
     qid, qmat = _query_vectors(sf_dir, n_queries)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -431,7 +433,7 @@ def ann_topk(sf_dir, k=10, n_queries=8, concurrency=4):
     )
 
 
-def ann_topk_filtered(sf_dir, k=10, n_queries=8, concurrency=4):
+def ann_topk_filtered(sf_dir, k=10, n_queries=8):
     """Metadata-FILTERED exact cosine top-k: each query only matches
     table vectors sharing its ``label`` (the filtered-vector-search shape
     every production store needs — category/tenant/language scoping).

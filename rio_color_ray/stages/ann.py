@@ -96,7 +96,13 @@ class AnnBruteStage:
         vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         scores = vecs @ self.q.T  # (batch, queries)
         if self.qlabel is not None:
-            labels = batch.column(self.label_col).to_numpy(zero_copy_only=False)
+            col = batch.column(self.label_col)
+            if col.null_count:
+                # NaN -> int64 casts to a garbage sentinel that would
+                # MATCH other nulls where the SQL twin's equi-join
+                # excludes them — refuse instead of silently diverging
+                raise ValueError("AnnBruteStage: null labels are not supported")
+            labels = col.to_numpy(zero_copy_only=False)
             scores[labels[:, None].astype(np.int64) != self.qlabel[None, :]] = -np.inf
         _exclude_self(scores, ids, self._qid_sorted, self._qid_cols)
         k = min(self.k, scores.shape[0])

@@ -113,6 +113,16 @@ def bucketed_hash_join(
 
     def tag(side, colmap, other_names):
         def fn(batch: pa.Table) -> pa.Table:
+            # explicit-schema callers must declare EVERY upstream column:
+            # silently dropping an undeclared one would turn schema drift
+            # into data loss downstream of the join
+            extra = set(batch.column_names) - set(colmap) - {key}
+            if extra:
+                raise ValueError(
+                    f"bucketed_hash_join: side {side} carries undeclared "
+                    f"columns {sorted(extra)}; add them to the declared schema "
+                    f"or project them away before the join"
+                )
             out = {key: batch.column(key)}
             kv = batch.column(key).to_numpy(zero_copy_only=False)
             out["__bucket"] = pa.array(

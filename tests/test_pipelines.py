@@ -185,3 +185,29 @@ def test_color_tiles_content_vs_sql_oracle(ray_session):
     a = rdf[cols].sort_values(["tile_id"]).reset_index(drop=True)
     b = odf[cols].sort_values(["tile_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_registry_driver_window_keeps_key_oracles():
+    """The graft driver value-verifies only the FIRST 50 queries()
+    entries: inserting a new query above these must not silently evict
+    the byte-exact tile-content twins or the LLM-pipeline family from
+    the verified window (the eviction this asserts against happened
+    once — see registry.py's ordering comment)."""
+    from rio_color_ray.registry import queries
+
+    window = list(queries())[:50]
+    for name in (
+        "color_tiles_content",
+        "render_tiles_content",
+        "near_dup_minhash",
+        "near_dup_jaccard",
+        "near_dup_simhash",
+        "dedup_clusters",
+        "curate_corpus",
+        "embedding_near_dup",
+        "ann_topk",
+        "pack_sequences",
+        "decontaminate",
+        "mix_sources",
+    ):
+        assert name in window, f"{name} fell out of the driver's 50-entry window"
