@@ -665,6 +665,54 @@ def test_dedup_canonical_is_cluster_minima(ray_session):
     assert got == sorted(clusters["cluster_id"].unique())
 
 
+def test_min_label_components_random_graphs_vs_union_find(ray_session):
+    """Path-compressed min-label propagation == a local union-find on
+    seeded random bipartite graphs, including key values that collide
+    numerically with node ids (the rewrite puts node ids into the key
+    column, so collisions must be harmless)."""
+    import ray.data
+
+    from rio_color_ray.stages.cluster import min_label_components
+
+    def union_find_oracle(df):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for n, k in zip(df["doc_id"], df["key"]):
+            a, b = find(("n", n)), find(("k", k))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        comp = {}
+        for n in df["doc_id"].unique():
+            comp.setdefault(find(("n", n)), []).append(n)
+        return {n: min(m) for m in comp.values() for n in m}
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        n_nodes, n_keys = 120, 40
+        rows = rng.integers(0, [n_nodes, n_keys], size=(300, 2))
+        df = pd.DataFrame(
+            {
+                "doc_id": rows[:, 0].astype(np.int64),
+                # key universe overlaps node ids on purpose in trial 0
+                "key": rows[:, 1].astype(np.int64)
+                + (0 if trial == 0 else 10_000 * (trial + 1)),
+            }
+        ).drop_duplicates()
+        got = (
+            min_label_components(ray.data.from_pandas(df), n_buckets=8)
+            .to_pandas()
+            .set_index("doc_id")["cluster_id"]
+            .to_dict()
+        )
+        assert got == union_find_oracle(df), f"trial {trial}"
+
+
 def test_dedup_clusters_matches_transitive_closure(ray_session):
     """Engine min-label propagation == exact recursive reachability."""
     import duckdb
