@@ -250,6 +250,20 @@ def oracle_sql() -> dict[str, str]:
         "mix_sources": curate.mix_sources_sql(),
         "embed_quantize": embed_quantize_sql(),
         "ann_topk_filtered": ann_topk_filtered_sql(),
+        # full-probe IVF == brute search (every cell probed), so it
+        # shares the exact brute twin; the equivalence itself is locked
+        # by tests/test_corpus.py::test_ann_ivf_recall_vs_brute
+        "ann_topk_ivf_fullprobe": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "WHERE vec_id < 8) "
+            "SELECT query_id, vec_id, rank FROM ("
+            "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "
+            "         row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "           round(list_cosine_similarity(e.embedding, q.qe), 6) DESC, "
+            "           e.vec_id) AS rank "
+            "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
+            ") WHERE rank <= 10"
+        ),
         # canonical corpus: the dedup_clusters closure restricted to the
         # nodes that are their own component minimum
         "dedup_canonical": (

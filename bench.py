@@ -88,6 +88,20 @@ def run_bench():
         queries[name] = round(best, 3)
         return out
 
+    # FLAGSHIP FIRST (round-4 fix): round 3 timed it AFTER >20s of
+    # all-to-all dedup shuffles in the same session, which inflated the
+    # headline 2.77->3.29s round-over-round (VERDICT r03 #1). The headline
+    # must be the steady-state number right after warm-up, with the heavy
+    # shuffle entries last so their session-level residue (object-store
+    # fragmentation, worker churn) can't leak into it.
+    n_tiles = timed("flagship", lambda: flagship(SF_DIR, replicate=REPLICATE))
+    flag_sec = queries["flagship"]
+
+    # the compute-bound variant (dense zoom): tracks the tile+color path
+    n_tiles_z10 = timed(
+        "flagship_z10", lambda: flagship(SF_DIR, replicate=REPLICATE, z=SCALING_ZOOM)
+    )
+
     n_pages = timed("geocode_cellify", lambda: geo.cellified(SF_DIR, replicate=REPLICATE))
     timed("grid_cell_agg", lambda: geo.grid_cell_agg(SF_DIR))
     timed("cell_agg_salted_h8", lambda: geo.cell_agg_salted(SF_DIR, "h3_r8"))
@@ -107,14 +121,6 @@ def run_bench():
 
     timed("near_dup_minhash", lambda: corpus.near_dup_pairs_minhash(SF_DIR))
     timed("dedup_clusters", lambda: corpus.dedup_clusters(SF_DIR))
-
-    n_tiles = timed("flagship", lambda: flagship(SF_DIR, replicate=REPLICATE))
-    flag_sec = queries["flagship"]
-
-    # the compute-bound variant (dense zoom): tracks the tile+color path
-    n_tiles_z10 = timed(
-        "flagship_z10", lambda: flagship(SF_DIR, replicate=REPLICATE, z=SCALING_ZOOM)
-    )
 
     result = {
         "metric": "flagship_sec (pages->geocode->cellify->pip_join->tiles->color)",

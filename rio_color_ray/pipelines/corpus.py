@@ -495,6 +495,20 @@ def ann_topk_ivf(sf_dir, k=10, n_queries=8, n_cells=16, n_probe=6, sample_n=512,
     )
 
 
+def ann_topk_ivf_fullprobe(sf_dir, k=10, n_queries=8, n_cells=16):
+    """IVF search with ``n_probe == n_cells``: every cell probed, so the
+    result is mathematically identical to brute-force cosine top-k —
+    which makes the IVF machinery (spread centroid sampling, k-means
+    training, cell routing, per-cell scoring, tie-break contract) an
+    EXACT driver-oracle row against the brute SQL twin, not just the
+    pytest recall property (tests/test_corpus.py::test_ann_ivf_recall_vs_brute).
+    The approximate ``ann_topk_ivf`` entry stays beside it as the scale
+    path."""
+    return ann_topk_ivf(
+        sf_dir, k=k, n_queries=n_queries, n_cells=n_cells, n_probe=n_cells
+    )
+
+
 VEC_REP_STRIDE = 10_000_000
 _JITTER_SCALE = 0.02  # replica cosine vs original ~0.9996 >> 0.95 threshold
 

@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": corpus.ann_topk,
         "ann_topk_filtered": corpus.ann_topk_filtered,
         "ann_topk_ivf": corpus.ann_topk_ivf,
+        "ann_topk_ivf_fullprobe": corpus.ann_topk_ivf_fullprobe,
         "embedding_near_dup": corpus.embedding_near_dup,
         "label_centroids": corpus.label_centroids,
         # multimodal
@@ -67,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geospatial
         "geocode": geo.geocode_query,
         "grid_cell_agg": geo.grid_cell_agg,
-        "top_grid_cells": geo.top_grid_cells,
         "cell_agg_salted_h8": lambda sf: geo.cell_agg_salted(sf, "h3_r8"),
         "cell_agg_h8": geo.cell_agg_h8,
         "cell_agg_s2": geo.cell_agg_s2,
@@ -85,6 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "color_tiles": tiles.color_tiles,
         "color_tiles_content": tiles.color_tiles_content,
         "token_counts_bpe": corpus.token_counts_bpe,
+        # top_grid_cells moved below the window in round 4 to make room
+        # for ann_topk_ivf_fullprobe (VERDICT r03 ask #2); it is a strict
+        # derivative of the driver-green grid_cell_agg and is pinned to
+        # its DuckDB oracle every pytest run
+        # (tests/test_pipelines.py::test_top_grid_cells_vs_sql_oracle)
+        "top_grid_cells": geo.top_grid_cells,
         # relational (TPC-H-ish + events)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,

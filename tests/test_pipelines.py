@@ -187,6 +187,29 @@ def test_color_tiles_content_vs_sql_oracle(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
+def test_top_grid_cells_vs_sql_oracle(ray_session, geo):
+    """top_grid_cells moved below the driver's 50-entry window in round 4
+    (evicted to admit ann_topk_ivf_fullprobe) — this pin keeps it
+    value-exact against its DuckDB twin every pytest run."""
+    import duckdb
+
+    import pandas as pd
+    from __ray_entry__ import oracle_sql
+
+    rdf = geo.top_grid_cells(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    odf = con.sql(oracle_sql()["top_grid_cells"]).df()
+    cols = sorted(rdf.columns)
+    assert cols == sorted(odf.columns)
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_registry_driver_window_keeps_key_oracles():
     """The graft driver value-verifies only the FIRST 50 queries()
     entries: inserting a new query above these must not silently evict
@@ -206,6 +229,7 @@ def test_registry_driver_window_keeps_key_oracles():
         "curate_corpus",
         "embedding_near_dup",
         "ann_topk",
+        "ann_topk_ivf_fullprobe",
         "pack_sequences",
         "decontaminate",
         "mix_sources",
