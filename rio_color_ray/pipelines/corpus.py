@@ -94,9 +94,8 @@ def decontaminate(sf_dir, every=DECONTAM_EVERY):
 
     def eval_grams(batch: pa.Table) -> pa.Table:
         did = batch.column("doc_id").to_numpy()
-        keep = did % every == 0
-        texts = [t for t, k in zip(batch.column("text").to_pylist(), keep) if k]
-        g, _ = doc_gram_arrays(texts)
+        ev = batch.filter(pa.array(did % every == 0))
+        g, _ = doc_gram_arrays(ev.column("text"))
         return pa.table({"g": pa.array(np.unique(g).view(np.int64), pa.int64())})
 
     eg = ds.map_batches(eval_grams, batch_format="pyarrow").to_pandas()["g"].to_numpy()
@@ -106,14 +105,18 @@ def decontaminate(sf_dir, every=DECONTAM_EVERY):
         grams = process_cached(
             ("decontam_grams", ref.hex()), lambda: ray.get(ref), group="decontaminate"
         )
+        # eval rows are dropped by doc_id alone — filter them out BEFORE
+        # paying the gram hashing, the most expensive per-batch work
         did = batch.column("doc_id").to_numpy()
-        g, seg = doc_gram_arrays(batch.column("text").to_pylist())
-        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        train = batch.filter(pa.array(did % every != 0))
+        did = train.column("doc_id").to_numpy()
+        g, seg = doc_gram_arrays(train.column("text"))
+        hits = np.zeros(train.num_rows, dtype=np.int64)
         if len(g) and len(grams):
             pos = np.minimum(np.searchsorted(grams, g), len(grams) - 1)
             hit = grams[pos] == g
-            hits = np.bincount(seg[hit], minlength=batch.num_rows)
-        keep = (did % every != 0) & (hits == 0)
+            hits = np.bincount(seg[hit], minlength=train.num_rows)
+        keep = hits == 0
         return pa.table({"doc_id": pa.array(did[keep].astype(np.int64), pa.int64())})
 
     return ds.map_batches(clean, batch_format="pyarrow")
@@ -344,9 +347,8 @@ def near_dup_pairs_jaccard(sf_dir, replicate=2, threshold=0.8):
         — one lexsort over (doc, gram), a first-occurrence mask, and a
         per-segment rank; no per-document loop."""
         urls = batch.column("url").to_pandas().to_numpy()
-        texts = batch.column("text").to_pylist()
-        grams, gcounts = shingle_hash_arrays(texts)
-        seg = np.repeat(np.arange(len(texts)), gcounts)
+        grams, gcounts = shingle_hash_arrays(batch.column("text"))
+        seg = np.repeat(np.arange(len(gcounts)), gcounts)
         order = np.lexsort((grams, seg))
         gs, ss = grams[order], seg[order]
         first = np.ones(len(gs), dtype=bool)

@@ -77,23 +77,21 @@ def shingle_hash_arrays(texts, n=3):
     hashes (g = h0*P1 + h1*P2 + h2 mod 2^64 over polynomial token hashes
     — the fingerprint scheme, SQL-expressible) and the per-doc gram
     count. Docs with < 3 tokens contribute ONE gram with ``_FP_H0``
-    padding in the missing positions. No per-document Python loop: tokens
-    are exploded once, hashed as a codepoint matrix, and grams assembled
-    with shifted-array arithmetic (the fingerprint_batch pattern).
+    padding in the missing positions. No per-document Python loop:
+    tokenize + token hashing run straight off the Arrow UTF-8 buffers
+    (text.tokenize_hash_arrays — ``texts`` may be an Arrow string array
+    or a Python list); grams assemble with shifted-array arithmetic.
     """
-    from .text import _FP_H0, _FP_P1, _FP_P2, token_hashes
+    from .text import _FP_H0, _FP_P1, _FP_P2, tokenize_hash_arrays
 
     if n != 3:
         raise ValueError("only 3-gram shingles are implemented")
-    token_lists = [t.split() for t in texts]
-    tcounts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
-    flat = [w for toks in token_lists for w in toks]
-    h = token_hashes(flat) if flat else np.empty(0, np.uint64)
+    h, tcounts = tokenize_hash_arrays(texts)
 
     g = np.zeros_like(h)
     if len(h) >= 3:
         g[:-2] = h[:-2] * _FP_P1 + h[1:-1] * _FP_P2 + h[2:]
-    seg = np.repeat(np.arange(len(texts)), tcounts)
+    seg = np.repeat(np.arange(len(tcounts)), tcounts)
     full = np.zeros(len(h), dtype=bool)  # gram lies wholly inside one doc
     if len(h) >= 3:
         full[:-2] = seg[:-2] == seg[2:]
@@ -175,15 +173,16 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
-        texts = batch.column(self.text_col).to_pylist()
-        sig = self.signatures(texts).reshape(len(texts), N_BANDS, _ROWS_PER_BAND)
-        bh = np.zeros((len(texts), N_BANDS), dtype=np.uint64)
+        n = batch.num_rows
+        texts = batch.column(self.text_col)  # Arrow column straight through
+        sig = self.signatures(texts).reshape(n, N_BANDS, _ROWS_PER_BAND)
+        bh = np.zeros((n, N_BANDS), dtype=np.uint64)
         for c in range(_ROWS_PER_BAND):  # fold the 4 band rows (fixed count)
             bh = bh * _BAND_P + sig[:, :, c]
         return pa.table(
             {
                 "id": pa.array(np.repeat(ids.to_pandas().to_numpy(), N_BANDS)),
-                "band": pa.array(np.tile(np.arange(N_BANDS), len(texts)), pa.int64()),
+                "band": pa.array(np.tile(np.arange(N_BANDS), n), pa.int64()),
                 "band_hash": pa.array(
                     (bh % np.uint64(1 << 63)).astype(np.int64).ravel(), pa.int64()
                 ),
@@ -351,17 +350,14 @@ def simhash_batch(id_col="doc_id", text_col="text"):
     the whole operator has an exact SQL twin; bit accumulation and band
     slicing are pure array ops — no per-document loop.
     """
-    from .text import token_hashes
+    from .text import tokenize_hash_arrays
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pandas().to_numpy()
-        texts = batch.column(text_col).to_pylist()
-        token_lists = [t.split() for t in texts]
-        counts = np.asarray([len(t) for t in token_lists], dtype=np.int64)
-        flat = [w for toks in token_lists for w in toks]
-        sims = np.zeros(len(texts), dtype=np.uint64)
-        if flat:
-            h = token_hashes(flat)
+        n = batch.num_rows
+        h, counts = tokenize_hash_arrays(batch.column(text_col))
+        sims = np.zeros(n, dtype=np.uint64)
+        if len(h):
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
                 np.int64
             ) * 2 - 1
@@ -378,7 +374,7 @@ def simhash_batch(id_col="doc_id", text_col="text"):
         return pa.table(
             {
                 "id": pa.array(np.repeat(ids, _SIM_BANDS)),
-                "band": pa.array(np.tile(bands.astype(np.int64), len(texts)), pa.int64()),
+                "band": pa.array(np.tile(bands.astype(np.int64), n), pa.int64()),
                 "band_hash": pa.array(keys.astype(np.int64).ravel(), pa.int64()),
                 "simhash": pa.array(
                     np.repeat((sims % np.uint64(1 << 63)).astype(np.int64), _SIM_BANDS),
