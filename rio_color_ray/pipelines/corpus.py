@@ -30,7 +30,12 @@ from .geo import pages
 
 
 def documents(sf_dir):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    """doc_id + text only: every consumer in this module is a text
+    operator — the lang/source/n_chars columns never leave storage
+    (VERDICT r03 #5)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
 
 
 # --- text analysis ----------------------------------------------------------
@@ -195,104 +200,150 @@ def dedup_exact_pages(sf_dir, replicate=3):
 def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
     """Distributed exact-Jaccard verification of candidate id pairs.
 
-    Texts are attached with TWO explicit bucketed hash joins (never
-    collected to the driver — at corpus scale the candidate set is small
-    relative to the corpus but can still exceed driver memory), then the
-    per-pair n-gram Jaccard runs inside map_batches over the joined rows.
-    The bucketed join is task-based (sort-shuffle exchange, warm
-    workers) — Ray's built-in ``Dataset.join`` spawns hash-aggregator
-    actor pools per execution, which both costs ~2s and can wedge a
-    small node (ctx.py). Returns a Dataset[url_a, url_b] (stays in the
-    cluster; callers that need a driver copy call to_pandas themselves).
+    Shuffle economy (the round-4 redesign — VERDICT r03 #4): the corpus
+    crosses the wire ONCE, as per-doc DISTINCT gram-hash arrays, not
+    twice as raw text through two hash joins. Exchange 1 buckets on
+    ``hash(id)`` and co-groups three row kinds — doc gram rows, the
+    ``id_a`` side of every candidate pair, the ``id_b`` side — so each
+    pair side picks up its grams where the doc's grams already live;
+    cross-band duplicate pairs collapse in the same exchange (both
+    sides of a duplicate land in the same two buckets), replacing the
+    dedicated ``dedup_pairs`` exchange. Exchange 2 is pair-sized: it
+    regroups the two gram-carrying sides on a pair hash and runs the
+    vectorized intersection. Hashed 3-grams stand in for the oracle's
+    string 3-grams: gram counts are identical by construction (both
+    emit max(1, n_tokens-2) grams, end-padded) and 64-bit collisions
+    within one pair's union are negligible — the same equivalence the
+    min-shingle candidate path already relies on. Returns a
+    Dataset[url_a, url_b] (never driver-collected).
     """
-    from ..stages.join import bucketed_hash_join
+    from ..stages.dedup import shingle_hash_arrays
+    from ..stages.text import segment_distinct
 
-    # the join key must be int64 for the bucketed join: hash the url once
-    # on each side (collision odds negligible; verification is exact)
-    def key_of(col):
-        return pd.util.hash_array(np.asarray(col, dtype=object)).astype(np.int64)
+    def key_of(vals):
+        return pd.util.hash_array(np.asarray(vals, dtype=object)).astype(np.int64)
 
-    def rekey(id_col):
-        """Prepend int64 join key k = hash(id_col), keep every column."""
+    grams_t = pa.list_(pa.int64())
 
-        def fn(batch: pa.Table) -> pa.Table:
-            out = {"k": pa.array(key_of(batch.column(id_col).to_pylist()), pa.int64())}
-            for name in batch.column_names:
-                if name != "k":
-                    out[name] = batch.column(name)
-            return pa.table(out)
+    def doc_gram_rows(batch: pa.Table) -> pa.Table:
+        """side=0 rows: (bucket, id_a=url, id_b=null, grams)."""
+        n = batch.num_rows
+        urls = batch.column("url")
+        g, gcounts = shingle_hash_arrays(batch.column("text"))
+        seg = np.repeat(np.arange(n), gcounts)
+        dv, dseg = segment_distinct(g, seg)
+        counts = np.bincount(dseg, minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(dv.view(np.int64), pa.int64())
+        )
+        return pa.table(
+            {
+                "__b": pa.array(
+                    key_of(urls.to_pylist()) % n_buckets, pa.int64()
+                ),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "id_a": urls,
+                "id_b": pa.nulls(n, pa.string()),
+                "grams": lst,
+            }
+        )
 
-        return fn
+    def pair_side_rows(batch: pa.Table) -> pa.Table:
+        """side=1/2 rows: the pair routed to each endpoint's bucket."""
+        n = batch.num_rows
+        ida, idb = batch.column("id_a"), batch.column("id_b")
+        one = pa.table(
+            {
+                "__b": pa.array(key_of(ida.to_pylist()) % n_buckets, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "id_a": ida,
+                "id_b": idb,
+                "grams": pa.nulls(n, grams_t),
+            }
+        )
+        two = pa.table(
+            {
+                "__b": pa.array(key_of(idb.to_pylist()) % n_buckets, pa.int64()),
+                "side": pa.array(np.full(n, 2, np.int8), pa.int8()),
+                "id_a": ida,
+                "id_b": idb,
+                "grams": pa.nulls(n, grams_t),
+            }
+        )
+        return pa.concat_tables([one, two])
 
-    def docs_keyed(which):
-        def fn(batch: pa.Table) -> pa.Table:
-            urls = batch.column("url").to_pylist()
-            return pa.table(
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        """Per id-bucket: dedup pair sides, attach the local side's
+        grams, key each row by a pair hash for exchange 2."""
+        side = g["side"].to_numpy()
+        docs = g[side == 0]
+        prs = g[side != 0].drop_duplicates(["id_a", "id_b", "side"])
+        if not len(prs):
+            return pd.DataFrame(
                 {
-                    "k": pa.array(key_of(urls), pa.int64()),
-                    f"text_{which}": batch.column("text"),
+                    "__pb": pd.Series([], dtype=np.int64),
+                    "side": pd.Series([], dtype=np.int8),
+                    "id_a": pd.Series([], dtype=object),
+                    "id_b": pd.Series([], dtype=object),
+                    "grams": pd.Series([], dtype=object),
                 }
             )
-
-        return fn
-
-    # explicit schemas: both left sides end in an all-to-all (the
-    # candidate groupby / join 1), so a Dataset.schema() probe would
-    # silently re-execute that whole stage once before the join runs it
-    # again (the trap documented on bucketed_hash_join)
-    ids = pa.string()
-    j = bucketed_hash_join(
-        cand_ds.map_batches(rekey("id_a"), batch_format="pyarrow"),
-        docs_ds.map_batches(docs_keyed("a"), batch_format="pyarrow"),
-        "k",
-        n_buckets=n_buckets,
-        left_schema={"k": pa.int64(), "id_a": ids, "id_b": ids},
-        right_schema={"k": pa.int64(), "text_a": pa.string()},
-    ).drop_columns(["k"])
-    j = bucketed_hash_join(
-        j.map_batches(rekey("id_b"), batch_format="pyarrow"),
-        docs_ds.map_batches(docs_keyed("b"), batch_format="pyarrow"),
-        "k",
-        n_buckets=n_buckets,
-        left_schema={"k": pa.int64(), "id_a": ids, "id_b": ids, "text_a": pa.string()},
-        right_schema={"k": pa.int64(), "text_b": pa.string()},
-    )
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        """Batch-vectorized exact n-gram Jaccard.
-
-        One shingle_hash_arrays pass per text column, then per-pair
-        distinct counts and intersections via lexsort + boundary masks —
-        no per-pair Python tokenize/set-build (the old per-pair
-        ``jaccard()`` loop was the slowest stage after a hot LSH round).
-        Hashed 3-grams stand in for the oracle's string 3-grams: the
-        gram counts are identical by construction (both emit
-        max(1, n_tokens-2) grams, end-padded) and 64-bit collisions
-        within one pair's union are negligible — the same equivalence
-        the min-shingle candidate path already relies on.
-        """
-        if len(batch) == 0:
-            return pd.DataFrame(
-                {"url_a": pd.Series([], dtype=str), "url_b": pd.Series([], dtype=str)}
+        ps = prs["side"].to_numpy()
+        local_id = np.where(
+            ps == 1, prs["id_a"].to_numpy(), prs["id_b"].to_numpy()
+        )
+        lookup = pd.Series(docs["grams"].to_numpy(), index=docs["id_a"].to_numpy())
+        grams = lookup.reindex(local_id).to_numpy()
+        missing = pd.isna(grams)
+        if missing.any():
+            raise ValueError(
+                f"{int(missing.sum())} candidate ids have no document row"
             )
-        from ..stages.dedup import shingle_hash_arrays
-        from ..stages.text import segment_distinct
+        pb = (
+            pd.util.hash_pandas_object(
+                prs["id_a"].astype(str) + "\x00" + prs["id_b"].astype(str),
+                index=False,
+            ).to_numpy()
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "__pb": pb,
+                "side": ps,
+                "id_a": prs["id_a"].to_numpy(),
+                "id_b": prs["id_b"].to_numpy(),
+                "grams": grams,
+            }
+        )
 
-        n = len(batch)
-
-        def distinct_per_pair(texts):
-            g, counts = shingle_hash_arrays(list(texts))
-            seg = np.repeat(np.arange(len(counts)), counts)
-            return segment_distinct(g, seg)
-
-        da, sa = distinct_per_pair(batch["text_a"])
-        db, sb = distinct_per_pair(batch["text_b"])
-        na = np.bincount(sa, minlength=n)
-        nb = np.bincount(sb, minlength=n)
-        # a gram appearing twice within one pair must be once per side
-        # (each side is distinct), i.e. an intersection hit
-        allg = np.concatenate([da, db])
-        alls = np.concatenate([sa, sb])
+    def verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        """Per pair-bucket: align the two gram-carrying sides of each
+        pair and run ONE vectorized distinct-intersection pass."""
+        empty = pd.DataFrame(
+            {"url_a": pd.Series([], dtype=str), "url_b": pd.Series([], dtype=str)}
+        )
+        if not len(bucket):
+            return empty
+        d = bucket.sort_values(["id_a", "id_b", "side"], kind="mergesort")
+        side = d["side"].to_numpy()
+        a_rows, b_rows = d[side == 1], d[side == 2]
+        n = len(a_rows)
+        if n != len(b_rows) or not np.array_equal(
+            a_rows["id_a"].to_numpy(), b_rows["id_a"].to_numpy()
+        ):
+            raise ValueError("pair sides misaligned in verify bucket")
+        if n == 0:
+            return empty
+        ga, gb = a_rows["grams"].to_numpy(), b_rows["grams"].to_numpy()
+        na = np.fromiter((len(x) for x in ga), np.int64, n)
+        nb = np.fromiter((len(x) for x in gb), np.int64, n)
+        # each side is distinct, so a value seen twice within one pair
+        # is exactly one intersection hit
+        allg = np.concatenate([np.concatenate(ga), np.concatenate(gb)])
+        alls = np.concatenate(
+            [np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)]
+        )
         order = np.lexsort((allg, alls))
         gs, ss = allg[order], alls[order]
         dup = (gs[1:] == gs[:-1]) & (ss[1:] == ss[:-1])
@@ -301,10 +352,15 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
         # divide (not inter >= t*union): float rounding at the threshold
         # boundary must match the oracle's division exactly
         ok = inter / union >= threshold  # union >= 1 always (counts >= 1)
-        out = batch.loc[ok, ["id_a", "id_b"]]
-        return out.rename(columns={"id_a": "url_a", "id_b": "url_b"})
+        return pd.DataFrame(
+            {"url_a": a_rows["id_a"].to_numpy()[ok], "url_b": a_rows["id_b"].to_numpy()[ok]}
+        )
 
-    return j.map_batches(verify, batch_format="pandas")
+    u = docs_ds.map_batches(doc_gram_rows, batch_format="pyarrow").union(
+        cand_ds.map_batches(pair_side_rows, batch_format="pyarrow")
+    )
+    attached = u.groupby("__b").map_groups(attach, batch_format="pandas")
+    return attached.groupby("__pb").map_groups(verify, batch_format="pandas")
 
 
 def near_dup_pairs_minhash(sf_dir, replicate=2, threshold=0.8, concurrency=4):
@@ -321,7 +377,9 @@ def near_dup_pairs_minhash(sf_dir, replicate=2, threshold=0.8, concurrency=4):
         make_stage_fn(MinHashStage, id_col="url", text_col="text"),
         batch_format="pyarrow",
     )
-    cand = candidate_pairs_from_bands(bands)
+    # dedup=False: cross-band duplicate pairs collapse inside the verify
+    # exchange itself (see _verify_pairs_jaccard) — one less all-to-all
+    cand = candidate_pairs_from_bands(bands, dedup=False)
     return _verify_pairs_jaccard(cand, ds, threshold)
 
 
@@ -372,7 +430,7 @@ def near_dup_pairs_jaccard(sf_dir, replicate=2, threshold=0.8):
         )
 
     keys_ds = ds.map_batches(min_shingles, batch_format="pyarrow")
-    cand = candidate_pairs_from_bands(keys_ds)
+    cand = candidate_pairs_from_bands(keys_ds, dedup=False)
     return _verify_pairs_jaccard(cand, ds, threshold)
 
 
@@ -426,7 +484,9 @@ def _query_vectors(sf_dir, n_queries, with_labels=False):
 def ann_topk(sf_dir, k=10, n_queries=8):
     """Exact brute-force cosine top-k (query side broadcast)."""
     qid, qmat = _query_vectors(sf_dir, n_queries)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     partial = ds.map_batches(
         make_stage_fn(AnnBruteStage, qid, qmat, k), batch_format="pyarrow"
     )
@@ -442,7 +502,9 @@ def ann_topk_filtered(sf_dir, k=10, n_queries=8):
     The filter is a vectorized mask inside the same broadcast matmul
     pass, so the scan cost is identical to unfiltered brute search."""
     qid, qmat, qlab = _query_vectors(sf_dir, n_queries, with_labels=True)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
     partial = ds.map_batches(
         make_stage_fn(AnnBruteStage, qid, qmat, k, query_labels=qlab),
         batch_format="pyarrow",
@@ -487,7 +549,9 @@ def ann_topk_ivf(sf_dir, k=10, n_queries=8, n_cells=16, n_probe=6, sample_n=512,
     sample = sample_embeddings_spread(f"{sf_dir}/embeddings.parquet", sample_n)
     cent = train_ivf_centroids(sample, n_cells)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     partial = ds.map_batches(
         make_stage_fn(AnnIVFStage, qid, qmat, cent, n_probe, k),
         batch_format="pyarrow",
@@ -523,7 +587,9 @@ def embeddings_replicated(sf_dir, replicate=1):
     (the embedding analog of the replicated pages corpus), ids offset by
     ``r * VEC_REP_STRIDE``.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     if replicate <= 1:
         return ds
 
@@ -563,7 +629,9 @@ def embeddings_replicated(sf_dir, replicate=1):
 def embedding_buckets(sf_dir, concurrency=2):
     """LSH bucket assignment for every embedding (the ANN scale path's
     partitioning key; same-(table, bucket) ids are near-dup candidates)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     return ds.map_batches(make_stage_fn(EmbeddingLSHStage), batch_format="pyarrow")
 
 
@@ -582,6 +650,13 @@ def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tab
     ``replicate=2`` plants one jittered near-dup per vector so the
     operator's recall is testable (tests assert >= 95% found). Returns a
     Dataset[vec_id_a, vec_id_b].
+
+    STAR-PAIR CONTRACT (consumers of the raw pair list, read this): in
+    a bucket that exceeds MAX_BUCKET_PAIRS_IDS the output contains only
+    cosine-verified pairs anchored at the bucket's min id — duplicate-
+    cluster CONNECTIVITY is preserved (downstream clustering sees the
+    same components), but transitive pair ENUMERATION inside such a
+    bucket is intentionally incomplete; each degradation is logged.
     """
     from ..stages.dedup import embedding_cosine_pairs
 

@@ -190,7 +190,9 @@ class MinHashStage:
         )
 
 
-def _bucketed_segment_pairs(band_ds, emit, n_buckets=64, extra_cols=(), what="LSH"):
+def _bucketed_segment_pairs(
+    band_ds, emit, n_buckets=64, extra_cols=(), what="LSH", dedup=True
+):
     """Shared scaffolding for banded candidate-pair stages.
 
     The LSH group count grows with the corpus (bands x distinct hashes),
@@ -256,13 +258,19 @@ def _bucketed_segment_pairs(band_ds, emit, n_buckets=64, extra_cols=(), what="LS
         .groupby("__b")
         .map_groups(pairs_bucket, batch_format="pandas")
     )
+    if not dedup:
+        # caller collapses cross-band duplicates itself (e.g. inside the
+        # verify exchange) — skip the dedicated pair-dedup exchange
+        return cand
     return dedup_pairs(cand, n_buckets=n_buckets)
 
 
-def candidate_pairs_from_bands(band_ds, n_buckets=64):
+def candidate_pairs_from_bands(band_ds, n_buckets=64, dedup=True):
     """(band, band_hash) groups -> unique candidate id pairs (a < b),
     vectorized per segment (triu_indices) and star-capped
-    (MAX_BUCKET_PAIRS_IDS) — see :func:`_bucketed_segment_pairs`."""
+    (MAX_BUCKET_PAIRS_IDS) — see :func:`_bucketed_segment_pairs`.
+    ``dedup=False`` skips the cross-band pair-dedup exchange for callers
+    whose downstream exchange collapses duplicates anyway."""
 
     def emit(u, _extras):
         c = len(u)
@@ -271,7 +279,7 @@ def candidate_pairs_from_bands(band_ds, n_buckets=64):
         ia, ib = np.triu_indices(c, k=1)
         return u[ia], u[ib], 0
 
-    return _bucketed_segment_pairs(band_ds, emit, n_buckets=n_buckets)
+    return _bucketed_segment_pairs(band_ds, emit, n_buckets=n_buckets, dedup=dedup)
 
 
 def dedup_pairs(cand, n_buckets=64):
