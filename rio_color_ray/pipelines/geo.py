@@ -45,7 +45,10 @@ def pages(sf_dir, replicate=1):
     ``replicate > 1`` unions that many deterministic corpus copies
     (distinct urls/coords) — bench-scale input without external data.
     """
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text", "lang"],  # n_chars never used
+    )
     if replicate <= 1:
         return docs.map_batches(synth_pages_batch, batch_format="pyarrow")
 

@@ -97,6 +97,15 @@ class AnnBruteStage:
         scores = vecs @ self.q.T  # (batch, queries)
         if self.qlabel is not None:
             col = batch.column(self.label_col)
+            if not pa.types.is_integer(col.type):
+                # a string/float label would hit an opaque numpy cast
+                # error (or silently parse numeric strings) below, where
+                # the SQL twin's equi-join handles any type — refuse with
+                # the actual contract instead
+                raise ValueError(
+                    f"AnnBruteStage: label column must be an integer type, "
+                    f"got {col.type}"
+                )
             if col.null_count:
                 # NaN -> int64 casts to a garbage sentinel that would
                 # MATCH other nulls where the SQL twin's equi-join

@@ -239,12 +239,22 @@ def test_query_cli_runs_registry_entry(ray_session, tmp_path):
     res = runner.invoke(engine, ["query", "--list"])
     assert res.exit_code == 0
     # CliRunner captures process stdout, and a prior test's Ray progress
-    # bar can flush ANSI control sequences into the window — strip them
-    # and assert every registry name is listed (stray tokens tolerated)
+    # bar can flush ANSI control sequences into the window — strip them,
+    # then require the listed names to EQUAL the registry per line (a
+    # duplicate or stray query name printed by the CLI must fail; lines
+    # that are pure progress-bar residue are dropped before comparing)
     import re
 
     clean = re.sub(r"\x1b\[[0-9;?]*[A-Za-z]", "", res.output)
-    assert set(queries()) <= set(clean.split())
+    # keep only query-name-shaped lines (Ray worker/progress residue has
+    # spaces, parens or colons and never matches); equality as a MULTISET
+    # so a duplicate or stray name printed by the CLI fails
+    listed = [
+        ln.strip()
+        for ln in clean.splitlines()
+        if re.fullmatch(r"[a-z0-9_]+", ln.strip())
+    ]
+    assert sorted(listed) == sorted(queries())
 
     out = tmp_path / "q6"
     res = runner.invoke(
