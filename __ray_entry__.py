@@ -62,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from rio_color_ray.pipelines.corpus import (
         ann_topk_filtered_sql,
+        embedding_near_dup_exact_sql,
         audio_frames_sql,
         decontaminate_sql,
         embed_quantize_sql,
@@ -250,6 +251,11 @@ def oracle_sql() -> dict[str, str]:
         "mix_sources": curate.mix_sources_sql(),
         "embed_quantize": embed_quantize_sql(),
         "ann_topk_filtered": ann_topk_filtered_sql(),
+        # recall-1.0 LSH configuration vs the all-pairs cosine ground
+        # truth (planted pairs at ~0.9996 vs the 0.95 threshold; next
+        # closest pair <= ~0.48) — the approximate embedding_near_dup
+        # entry stays rows-only beside it
+        "embedding_near_dup_exact": embedding_near_dup_exact_sql(),
         # full-probe IVF == brute search (every cell probed), so it
         # shares the exact brute twin; the equivalence itself is locked
         # by tests/test_corpus.py::test_ann_ivf_recall_vs_brute

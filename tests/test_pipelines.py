@@ -210,6 +210,54 @@ def test_top_grid_cells_vs_sql_oracle(ray_session, geo):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
+def test_knn_vs_sql_oracle(ray_session):
+    """knn (brute) moved below the driver's 50-entry window in round 4
+    (evicted to admit embedding_near_dup_exact) — this pin keeps it
+    value-exact against its DuckDB twin every pytest run, alongside the
+    existing numpy brute-force oracle in tests/test_corpus.py."""
+    import duckdb
+
+    import pandas as pd
+    from __ray_entry__ import oracle_sql, queries
+
+    rdf = queries()["knn"](SF)
+    if not isinstance(rdf, pd.DataFrame):
+        rdf = rdf.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    odf = con.sql(oracle_sql()["knn"]).df()
+    cols = sorted(rdf.columns)
+    assert cols == sorted(odf.columns)
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
+def test_embedding_near_dup_exact_matches_ground_truth(ray_session):
+    """The recall-1.0 entry really is exact: engine pairs == the
+    all-pairs cosine ground truth at test scale (both planted-pair
+    complete and free of extras)."""
+    import duckdb
+
+    import pandas as pd
+    from __ray_entry__ import oracle_sql, queries
+
+    rdf = queries()["embedding_near_dup_exact"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    odf = con.sql(oracle_sql()["embedding_near_dup_exact"]).df()
+    cols = ["vec_id_a", "vec_id_b"]
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_registry_driver_window_keeps_key_oracles():
     """The graft driver value-verifies only the FIRST 50 queries()
     entries: inserting a new query above these must not silently evict
@@ -228,6 +276,7 @@ def test_registry_driver_window_keeps_key_oracles():
         "dedup_clusters",
         "curate_corpus",
         "embedding_near_dup",
+        "embedding_near_dup_exact",
         "ann_topk",
         "ann_topk_ivf_fullprobe",
         "pack_sequences",
