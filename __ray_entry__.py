@@ -102,6 +102,21 @@ def oracle_sql() -> dict[str, str]:
         f"THEN 1 ELSE 0 END) % 2 = 1"
     )
 
+    # shared by ann_topk and ann_topk_ivf_fullprobe: full-probe IVF is
+    # mathematically identical to brute search, so both entries must
+    # stay byte-identical
+    brute_topk_sql = (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+        "WHERE vec_id < 8) "
+        "SELECT query_id, vec_id, rank FROM ("
+        "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "
+        "         row_number() OVER (PARTITION BY q.qid ORDER BY "
+        "           round(list_cosine_similarity(e.embedding, q.qe), 6) DESC, "
+        "           e.vec_id) AS rank "
+        "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
+        ") WHERE rank <= 10"
+    )
+
     return {
         "q1_pricing_summary": R.Q1_SQL,
         "q3_top_orders": R.Q3_SQL,
@@ -227,17 +242,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents CROSS JOIN reps) "
             f"SELECT min(url) AS url FROM pr GROUP BY text"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
-            "WHERE vec_id < 8) "
-            "SELECT query_id, vec_id, rank FROM ("
-            "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "
-            "         row_number() OVER (PARTITION BY q.qid ORDER BY "
-            "           round(list_cosine_similarity(e.embedding, q.qe), 6) DESC, "
-            "           e.vec_id) AS rank "
-            "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
-            ") WHERE rank <= 10"
-        ),
+        "ann_topk": brute_topk_sql,
         "train_test_split": curate.TRAIN_TEST_SPLIT_SQL,
         "sample_stratified": curate.SAMPLE_STRATIFIED_SQL,
         "sample_k_per_stratum": curate.sample_k_per_stratum_sql(),
@@ -259,17 +264,7 @@ def oracle_sql() -> dict[str, str]:
         # full-probe IVF == brute search (every cell probed), so it
         # shares the exact brute twin; the equivalence itself is locked
         # by tests/test_corpus.py::test_ann_ivf_recall_vs_brute
-        "ann_topk_ivf_fullprobe": (
-            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
-            "WHERE vec_id < 8) "
-            "SELECT query_id, vec_id, rank FROM ("
-            "  SELECT q.qid AS query_id, e.vec_id AS vec_id, "
-            "         row_number() OVER (PARTITION BY q.qid ORDER BY "
-            "           round(list_cosine_similarity(e.embedding, q.qe), 6) DESC, "
-            "           e.vec_id) AS rank "
-            "  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid"
-            ") WHERE rank <= 10"
-        ),
+        "ann_topk_ivf_fullprobe": brute_topk_sql,
         # canonical corpus: the dedup_clusters closure restricted to the
         # nodes that are their own component minimum
         "dedup_canonical": (

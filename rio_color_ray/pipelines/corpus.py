@@ -329,8 +329,14 @@ def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
         side = d["side"].to_numpy()
         a_rows, b_rows = d[side == 1], d[side == 2]
         n = len(a_rows)
-        if n != len(b_rows) or not np.array_equal(
-            a_rows["id_a"].to_numpy(), b_rows["id_a"].to_numpy()
+        if (
+            n != len(b_rows)
+            or not np.array_equal(
+                a_rows["id_a"].to_numpy(), b_rows["id_a"].to_numpy()
+            )
+            or not np.array_equal(
+                a_rows["id_b"].to_numpy(), b_rows["id_b"].to_numpy()
+            )
         ):
             raise ValueError("pair sides misaligned in verify bucket")
         if n == 0:

@@ -308,14 +308,33 @@ def tokenize_hash_arrays(texts):
 
     parent = np.searchsorted(offs, starts, side="right") - 1
     counts = np.bincount(parent, minlength=n_docs).astype(np.int64)
-    if b.max() >= 0x80:
-        codes, char_start = _utf8_codepoints(b)
-        lens = char_start[ends] - char_start[starts]
-        starts = char_start[starts]
-    else:
-        codes = b
-        lens = ends - starts
-    return _poly_fold(codes, starts, lens), counts
+    if len(starts) == 0:
+        return np.empty(0, np.uint64), counts
+    # every byte >= 0x80 lies inside some token (all inter-token bytes
+    # are ASCII whitespace), so a per-token byte max classifies exactly.
+    # Only the non-ASCII tokens' bytes go through the UTF-8 decode — one
+    # emoji in an otherwise-ASCII block must not allocate full-buffer
+    # decode temporaries (~40 bytes/byte) for the whole block.
+    na_mask = np.maximum.reduceat(b, starts) >= 0x80
+    if not na_mask.any():
+        return _poly_fold(b, starts, ends - starts), counts
+    hashes = np.empty(len(starts), dtype=np.uint64)
+    a_starts = starts[~na_mask]
+    hashes[~na_mask] = _poly_fold(b, a_starts, ends[~na_mask] - a_starts)
+    # gather the non-ASCII tokens' bytes into one compact buffer; token
+    # boundaries sit on character boundaries (ws is ASCII, continuation
+    # bytes are non-ws), so the concatenation is valid UTF-8
+    na_starts = starts[na_mask]
+    byte_lens = ends[na_mask] - na_starts
+    cum = np.concatenate([[0], np.cumsum(byte_lens)])
+    pos = np.arange(cum[-1], dtype=np.int64) + np.repeat(
+        na_starts - cum[:-1], byte_lens
+    )
+    codes, char_start = _utf8_codepoints(b[pos])
+    hashes[na_mask] = _poly_fold(
+        codes, char_start[cum[:-1]], char_start[cum[1:]] - char_start[cum[:-1]]
+    )
+    return hashes, counts
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

@@ -408,6 +408,37 @@ def test_shingle_hash_arrays_matches_naive(ray_session):
         assert got == [int(e) for e in exp], t
 
 
+def test_tokenize_hash_arrays_mixed_ascii_routing(ray_session):
+    """One non-ASCII token in a batch must not change any other token's
+    hash: the per-token UTF-8 routing (only non-ASCII tokens go through
+    the codepoint decode) must match the per-token reference on mixed
+    batches, sliced arrays, and large_string layouts."""
+    import re
+
+    from rio_color_ray.stages.text import token_hashes, tokenize_hash_arrays
+
+    docs = [
+        "pure ascii doc here",
+        "one \U0001f389 emoji among ascii",
+        "wörld naïve café",
+        "日本語テキスト mixed\U0001f389tok",
+        "ab keeps vertical tab inside token",
+        "", "   ", None, "\U0001f389",
+    ]
+    arr = pa.array(docs, pa.string())
+    tok_re = re.compile(r"[^\t\n\f\r ]+")
+    for a in (arr, arr.slice(1, 7), arr.cast(pa.large_string())):
+        exp_h, exp_c = [], []
+        for t in a.to_pylist():
+            toks = tok_re.findall(t or "")
+            exp_c.append(len(toks))
+            if toks:
+                exp_h.extend(int(h) for h in token_hashes(toks))
+        got_h, got_c = tokenize_hash_arrays(a)
+        assert got_c.tolist() == exp_c
+        assert got_h.tolist() == exp_h
+
+
 # --- multimodal stages -------------------------------------------------------
 
 
