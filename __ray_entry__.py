@@ -144,6 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users_kmv": R.approx_distinct_users_kmv_sql(),
         "events_rollup": R.ROLLUP_SQL,
         "users_click_no_purchase": R.EXCEPT_SQL,
+        "cap_per_source": curate.cap_per_source_sql(),
+        "length_filter_median": curate.length_filter_median_sql(),
+        "shuffle_shards": curate.shuffle_shards_sql(),
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "

@@ -478,7 +478,7 @@ def _query_vectors(sf_dir, n_queries, with_labels=False):
     )
     vid = t.column("vec_id").to_numpy()
     order = np.argsort(vid)
-    mat = np.stack(np.asarray(t.column("embedding").to_pylist(), dtype=object)[order])
+    mat = list_col_to_matrix(t.column("embedding"))[order]
     if with_labels:
         if t.column("label").null_count:
             raise ValueError("query vectors with null labels are not supported")

@@ -729,3 +729,187 @@ SELECT doc_id, chunk_idx, chunk_idx * {stride} AS tok_start,
        least(chunk_idx * {stride} + {size}, n_tokens) AS tok_end
 FROM e
 """
+
+
+# --- domain balancing (cap per source) ---------------------------------------
+
+CAP_PER_SOURCE_K = 20
+
+
+def cap_per_source(sf_dir, k=CAP_PER_SOURCE_K):
+    """Domain balancing: keep at most ``k`` documents per source (the
+    lowest ``doc_id``s — "earliest crawled" under the corpus' id order).
+    The standard guard against a single host/domain dominating a crawl-
+    derived pretraining mix.
+
+    Scale shape: per-block partial cap first (each block emits at most
+    k rows per source it contains — a vectorized sort + groupby-head,
+    no Python loop), then the survivors merge per-source inside
+    hash-bucketed groups. The exchange moves at most k x n_sources x
+    n_blocks (id, source) pairs — never document text, never the
+    uncapped row set. Returns Dataset[doc_id, source].
+    """
+    from ..stages.agg import hash_bucket_agg
+
+    ds = documents(sf_dir, columns=["doc_id", "source"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["source", "doc_id"], kind="mergesort")
+        return b.groupby("source", as_index=False).head(k)
+
+    return hash_bucket_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        "source",
+        lambda df: df.sort_values(["source", "doc_id"], kind="mergesort")
+        .groupby("source", as_index=False)
+        .head(k),
+    )
+
+
+def cap_per_source_sql(k=CAP_PER_SOURCE_K) -> str:
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= {int(k)}
+"""
+
+
+# --- global length-percentile filter ------------------------------------------
+
+LENGTH_FILTER_Q = 0.5
+
+
+def length_filter_median(sf_dir, q=LENGTH_FILTER_Q):
+    """Keep documents at or above the corpus-wide ``q`` length quantile
+    (whitespace tokens, quantile_disc semantics: the smallest length
+    whose cumulative count reaches ``ceil(q * n)``). Length filtering
+    against a GLOBAL percentile — not a fixed constant — is the usual
+    first quality gate on web text, and it needs a corpus statistic.
+
+    Scale shape: two streaming passes. Pass 1 reduces to a histogram of
+    DISTINCT token counts (per-batch partial counts, then a bucketed
+    merge — the exchange moves (length, count) pairs, bounded by the
+    distinct-length set, not by rows); the cutoff falls out of one
+    cumulative sum over that driver-sized histogram. Pass 2 re-streams
+    the corpus through a stateless filter against the broadcast cutoff.
+    Returns Dataset[doc_id, n_tokens].
+    """
+    from ..stages.agg import hash_bucket_agg
+    from ..stages.text import token_count_batch
+
+    def tc(sf):
+        return documents(sf, columns=["doc_id", "text"]).map_batches(
+            token_count_batch, batch_format="pyarrow"
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("n_tokens", as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    hist = hash_bucket_agg(
+        tc(sf_dir).map_batches(partial, batch_format="pandas"),
+        "n_tokens",
+        lambda df: df.groupby("n_tokens", as_index=False)["cnt"].sum(),
+    ).to_pandas()  # driver-sized: one row per distinct document length
+    h = hist.sort_values("n_tokens", kind="mergesort")
+    cum = h["cnt"].to_numpy().cumsum()
+    target = int(np.ceil(q * cum[-1]))
+    cutoff = int(h["n_tokens"].to_numpy()[np.searchsorted(cum, target)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n_tokens"), cutoff))
+
+    return tc(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def length_filter_median_sql(q=LENGTH_FILTER_Q) -> str:
+    """Exact twin: same explicit quantile_disc definition (smallest
+    length with cumulative count >= ceil(q * n)), no engine-specific
+    interpolation semantics."""
+    return f"""
+WITH tc AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), hist AS (
+  SELECT n_tokens, count(*) AS cnt FROM tc GROUP BY n_tokens
+), cum AS (
+  SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS c,
+         sum(cnt) OVER () AS tot
+  FROM hist
+), cut AS (
+  SELECT min(n_tokens) AS cutoff FROM cum WHERE c >= ceil({q} * tot)
+)
+SELECT doc_id, n_tokens FROM tc, cut WHERE n_tokens >= cutoff
+"""
+
+
+# --- deterministic global shuffle (sharded) -----------------------------------
+
+SHUFFLE_SALT = 0x53_4855_4646  # distinct hash stream per decision ('SHUFF')
+SHUFFLE_N_SHARDS = 64
+
+
+def shuffle_shards(sf_dir, n_shards=SHUFFLE_N_SHARDS):
+    """Deterministic global shuffle for training: every document gets a
+    (shard, shard_pos) — the order a reader streaming shard files in
+    position order would see. Hash-ordering by splitmix64(doc_id) is the
+    distributed replacement for a seeded Fisher-Yates pass: identical
+    output on every run, resume, and cluster size, and NO global sort —
+    one hash exchange on the shard key, then an independent in-shard
+    sort per group.
+
+    Scale shape: ``n_shards`` is the unit of parallel work AND output
+    (one shard = one training file); size it so corpus/n_shards fits a
+    worker (100 TB -> ~10^6 shards of ~100 MB). The exchange moves
+    (doc_id, shard, hash) triples only. Returns
+    Dataset[shard, shard_pos, doc_id].
+    """
+    from ..stages.sampling import splitmix64
+
+    ds = documents(sf_dir, columns=["doc_id"])
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(SHUFFLE_SALT))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+                # order-preserving int64 shift (uint64 msb -> sign bit),
+                # same trick as sample_k_per_stratum
+                "h": pa.array((h - np.uint64(1 << 63)).view(np.int64), pa.int64()),
+            }
+        )
+
+    def in_shard(group: pd.DataFrame) -> pd.DataFrame:
+        # splitmix64 is a bijection and doc_ids are unique -> no ties
+        g = group.sort_values("h", kind="mergesort")
+        return pd.DataFrame(
+            {
+                "shard": g["shard"].to_numpy(),
+                "shard_pos": np.arange(len(g), dtype=np.int64),
+                "doc_id": g["doc_id"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(with_key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(in_shard, batch_format="pandas")
+    )
+
+
+def shuffle_shards_sql(n_shards=SHUFFLE_N_SHARDS) -> str:
+    from ..stages.sampling import splitmix64_sql
+
+    h = splitmix64_sql(f"xor(CAST(doc_id AS HUGEINT), {int(SHUFFLE_SALT)})")
+    return f"""
+WITH hv AS (SELECT doc_id, ({h}) AS h FROM documents)
+SELECT CAST(h % {int(n_shards)} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {int(n_shards)} ORDER BY h) - 1
+            AS BIGINT) AS shard_pos,
+       doc_id
+FROM hv
+"""

@@ -125,4 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_kmv": relational.approx_distinct_users_kmv,
         "events_rollup": relational.events_rollup,
         "users_click_no_purchase": relational.users_click_no_purchase,
+        # round-4 curation additions (below the driver window by design;
+        # each is pinned to its DuckDB twin every pytest run in
+        # tests/test_curate.py)
+        "cap_per_source": curate.cap_per_source,
+        "length_filter_median": curate.length_filter_median,
+        "shuffle_shards": curate.shuffle_shards,
     }

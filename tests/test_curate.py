@@ -294,3 +294,58 @@ def test_mix_sources_zero_token_source(ray_session, tmp_path):
     assert "empty" not in set(out["source"])
     # the smallest nonzero source keeps all its docs
     assert (out["source"] == "small").sum() == 2
+
+
+def test_cap_per_source_oracle(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    rdf = _check(curate.cap_per_source(SF), con, curate.cap_per_source_sql())
+    # the cap binds: no source exceeds k, and the kept ids are the minima
+    per = rdf.groupby("source")["doc_id"].agg(["count", "max"])
+    assert (per["count"] <= curate.CAP_PER_SOURCE_K).all()
+    full = con.sql(
+        f"SELECT source, count(*) n FROM documents GROUP BY source"
+    ).df()
+    assert (full.set_index("source")["n"] > curate.CAP_PER_SOURCE_K).any()
+
+
+def test_length_filter_median_oracle(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    rdf = _check(
+        curate.length_filter_median(SF), con, curate.length_filter_median_sql()
+    )
+    # quantile_disc semantics: at least half the corpus survives, and the
+    # cutoff excludes at least one document (the synthetic lengths vary)
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert n_docs // 2 <= len(rdf) < n_docs
+
+
+def test_length_filter_quantile_param(ray_session, con):
+    """The same operator at q=0.9 keeps a strict subset of q=0.5."""
+    from rio_color_ray.pipelines import curate
+
+    hi = _check(
+        curate.length_filter_median(SF, q=0.9),
+        con,
+        curate.length_filter_median_sql(q=0.9),
+    )
+    lo = curate.length_filter_median(SF).to_pandas()
+    assert set(hi["doc_id"]) < set(lo["doc_id"])
+
+
+def test_shuffle_shards_oracle(ray_session, con):
+    from rio_color_ray.pipelines import curate
+
+    rdf = _check(curate.shuffle_shards(SF), con, curate.shuffle_shards_sql())
+    # a permutation: every doc exactly once, positions dense per shard
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(rdf) == n_docs and rdf["doc_id"].is_unique
+    for _, g in rdf.groupby("shard"):
+        assert sorted(g["shard_pos"]) == list(range(len(g)))
+    # determinism across runs (resume-stability contract)
+    again = curate.shuffle_shards(SF).to_pandas()
+    key = ["shard", "shard_pos"]
+    a = rdf.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
