@@ -50,12 +50,24 @@ def min_label_components(
     key_col: str = "key",
     n_buckets: int = 64,
     max_iters: int = 30,
+    local_finish_rows: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Label each node with min(node id) of its connected component.
 
     ``keys_ds`` must have columns ``(node_col, key_col)``, both int64.
     Returns a Dataset ``(node_col, cluster_id)`` with one row per
     distinct node.
+
+    ``local_finish_rows``: once the path-compressed working set has
+    contracted to at most this many rows (int64 triples — the default
+    2M is ~50 MB in one pandas task), the remaining propagation runs in
+    ONE single-partition task instead of more global rounds. Alternating
+    the two group-min transforms over the FULL edge set until stable IS
+    global convergence, so this replaces every remaining all-to-all with
+    one repartition — the measured row count, not an assumption about
+    input size, opens the gate, so the distributed rounds still do the
+    contraction work at any scale. ``0`` disables (pure distributed
+    rounds, used by the convergence tests).
     """
 
     def _bucket_of(col):
@@ -148,6 +160,21 @@ def min_label_components(
 
             logging.getLogger(__name__).info(
                 "min_label_components: converged after %d iterations", it + 1
+            )
+            break
+        if local_finish_rows and ds.count() <= local_finish_rows:
+            # contracted small enough: one task sees the whole edge set,
+            # so its local alternating convergence is the global fixed
+            # point — no further exchanges needed
+            ds = ds.repartition(1).map_batches(
+                _spread_min(key_col, node_col),
+                batch_format="pandas",
+                batch_size=None,
+            )
+            import logging
+
+            logging.getLogger(__name__).info(
+                "min_label_components: local finish after %d rounds", it + 1
             )
             break
     else:

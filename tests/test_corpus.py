@@ -641,8 +641,11 @@ def test_min_label_components_long_chain(ray_session):
             "key": np.repeat(np.arange(n - 1), 2) + 10_000,
         }
     )
+    # local_finish_rows=0 forces the pure distributed rounds — the
+    # O(log diameter) property under test must not hide behind the
+    # size-gated local finish
     out = min_label_components(
-        ray.data.from_pandas(keys), n_buckets=16
+        ray.data.from_pandas(keys), n_buckets=16, local_finish_rows=0
     ).to_pandas()
     assert len(out) == n
     assert (out["cluster_id"] == 0).all()
@@ -735,13 +738,19 @@ def test_min_label_components_random_graphs_vs_union_find(ray_session):
                 + (0 if trial == 0 else 10_000 * (trial + 1)),
             }
         ).drop_duplicates()
-        got = (
-            min_label_components(ray.data.from_pandas(df), n_buckets=8)
-            .to_pandas()
-            .set_index("doc_id")["cluster_id"]
-            .to_dict()
-        )
-        assert got == union_find_oracle(df), f"trial {trial}"
+        want = union_find_oracle(df)
+        # both convergence paths: pure distributed rounds
+        # (local_finish_rows=0) and the size-gated single-task finish
+        for lfr in (0, 2_000_000):
+            got = (
+                min_label_components(
+                    ray.data.from_pandas(df), n_buckets=8, local_finish_rows=lfr
+                )
+                .to_pandas()
+                .set_index("doc_id")["cluster_id"]
+                .to_dict()
+            )
+            assert got == want, f"trial {trial} local_finish_rows={lfr}"
 
 
 def test_dedup_clusters_matches_transitive_closure(ray_session):
