@@ -62,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from rio_color_ray.pipelines.corpus import (
         ann_topk_filtered_sql,
+        embedding_dup_clusters_sql,
         embedding_near_dup_exact_sql,
         audio_frames_sql,
         decontaminate_sql,
@@ -147,6 +148,9 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source": curate.cap_per_source_sql(),
         "length_filter_median": curate.length_filter_median_sql(),
         "shuffle_shards": curate.shuffle_shards_sql(),
+        # CC over the exact-config embedding near-dup pairs (recall-1.0
+        # LSH configuration; see embedding_near_dup_exact)
+        "embedding_dup_clusters": embedding_dup_clusters_sql(),
         "geocode": f"WITH pages AS ({pages}) SELECT url, lat, lon FROM pages",
         "grid_cell_agg": (
             f"WITH pages AS ({pages}) "

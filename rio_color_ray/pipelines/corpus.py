@@ -1093,3 +1093,75 @@ FROM (
 )
 GROUP BY label, i
 """
+
+
+def embedding_dup_clusters(sf_dir, threshold=0.95, replicate=2, n_tables=8):
+    """Transitive dedup clusters over the exact-config embedding
+    near-dup pairs — the composition a vector store actually executes
+    (candidate LSH -> cosine verify -> connected components -> keep one
+    per cluster), and the documented consumer of the star-pair contract:
+    star degradation preserves connectivity, so the CLUSTERS here are
+    exact even when a hot bucket's pair enumeration is capped.
+
+    Edges feed :func:`min_label_components` as memberships
+    ``(node, key=min(a, b))`` — component-exact, because the key value
+    min(a, b) is itself an endpoint of every pair that produced it, so
+    any nodes joined through a shared key were already connected through
+    that endpoint. Every replicated vector also emits a ``(v, v)`` self
+    row, so singletons get labeled. Returns (vec_id, cluster_id) with
+    cluster_id = min vec_id of the component.
+    """
+    from ..stages.cluster import min_label_components
+
+    pairs = embedding_near_dup(
+        sf_dir, threshold=threshold, replicate=replicate, n_tables=n_tables
+    )
+
+    def pair_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("vec_id_b").to_numpy(zero_copy_only=False)
+        m = np.minimum(a, b)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "key": pa.array(np.concatenate([m, m]), pa.int64()),
+            }
+        )
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        # id-only replica expansion: never materializes the vectors
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        ids = np.concatenate(
+            [vid + r * VEC_REP_STRIDE for r in range(replicate)]
+        ).astype(np.int64)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "key": pa.array(ids, pa.int64())}
+        )
+
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(self_rows, batch_format="pyarrow")
+    mem = pairs.map_batches(pair_edges, batch_format="pyarrow").union(nodes)
+    return min_label_components(mem, node_col="vec_id", key_col="key")
+
+
+def embedding_dup_clusters_sql(threshold=0.95, replicate=2) -> str:
+    """Recursive-reachability twin over the exact pair ground truth."""
+    reps = ", ".join(f"({r})" for r in range(replicate))
+    return f"""
+WITH RECURSIVE rep_ids AS (
+  SELECT vec_id + r * {int(VEC_REP_STRIDE)} AS vec_id
+  FROM embeddings CROSS JOIN (VALUES {reps}) v(r)
+), pairs AS (
+  SELECT * FROM ({embedding_near_dup_exact_sql(threshold=threshold)}) t
+), edges AS (
+  SELECT vec_id_a AS x, vec_id_b AS y FROM pairs
+  UNION ALL
+  SELECT vec_id_b AS x, vec_id_a AS y FROM pairs
+), walk(vec_id, reach) AS (
+  SELECT vec_id, vec_id FROM rep_ids
+  UNION
+  SELECT w.vec_id, e.y FROM walk w JOIN edges e ON e.x = w.reach
+)
+SELECT vec_id, min(reach) AS cluster_id FROM walk GROUP BY vec_id
+"""

@@ -131,4 +131,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": curate.cap_per_source,
         "length_filter_median": curate.length_filter_median,
         "shuffle_shards": curate.shuffle_shards,
+        "embedding_dup_clusters": corpus.embedding_dup_clusters,
     }

@@ -284,3 +284,29 @@ def test_registry_driver_window_keeps_key_oracles():
         "mix_sources",
     ):
         assert name in window, f"{name} fell out of the driver's 50-entry window"
+
+
+def test_embedding_dup_clusters_matches_reachability(ray_session):
+    """CC over the exact-config embedding near-dup pairs == recursive
+    reachability over the all-pairs cosine ground truth, including
+    singleton labeling and the (node, key=min-endpoint) edge encoding."""
+    import duckdb
+
+    import pandas as pd
+    from __ray_entry__ import oracle_sql, queries
+
+    rdf = queries()["embedding_dup_clusters"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    odf = con.sql(oracle_sql()["embedding_dup_clusters"]).df()
+    cols = ["vec_id", "cluster_id"]
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    # the planted configuration: every base vector pairs with exactly its
+    # jittered replica -> every cluster has exactly 2 members
+    sizes = rdf.groupby("cluster_id").size()
+    assert (sizes == 2).all() and len(sizes) * 2 == len(rdf)
