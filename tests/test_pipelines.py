@@ -261,27 +261,46 @@ def test_embedding_near_dup_exact_matches_ground_truth(ray_session):
 def test_registry_driver_window_keeps_key_oracles():
     """The graft driver value-verifies only the FIRST 50 queries()
     entries: inserting a new query above these must not silently evict
-    the byte-exact tile-content twins or the LLM-pipeline family from
-    the verified window (the eviction this asserts against happened
-    once — see registry.py's ordering comment)."""
+    the pinned set from the verified window. Round-4 rotation (VERDICT
+    r03 ask #8): the pinned set is now (a) entries that have never had a
+    driver row — the web-corpus family and the round-4 additions, (b)
+    the relational family (last driver-green round 2), and (c) the
+    every-round core: byte-exact tile-content twins + the north-rule
+    geospatial path. The LLM family rotated below the cutoff this round
+    (driver-green in r03; pytest-oracle-pinned every run)."""
     from rio_color_ray.registry import queries
 
     window = list(queries())[:50]
     for name in (
+        # never driver-verified before this round
+        "extract_text",
+        "host_stats",
+        "latest_page_snapshot",
+        "url_canonical_dedup",
+        "ann_topk_ivf_fullprobe",
+        "embedding_near_dup_exact",
+        "cap_per_source",
+        "length_filter_median",
+        "shuffle_shards",
+        "embedding_dup_clusters",
+        "token_counts_bpe",
+        # relational: fresh hard-signal pass this round
+        "q1_pricing_summary",
+        "sessionize",
+        "asof_join_clicks",
+        "range_join_clicks",
+        "users_click_no_purchase",
+        # every-round core
         "color_tiles_content",
         "render_tiles_content",
-        "near_dup_minhash",
-        "near_dup_jaccard",
-        "near_dup_simhash",
-        "dedup_clusters",
+        "geocode",
+        "grid_cell_agg",
+        "cell_agg_salted_h8",
+        "rect_join",
+        "pip_join",
+        "knn_cells",
         "curate_corpus",
-        "embedding_near_dup",
-        "embedding_near_dup_exact",
-        "ann_topk",
-        "ann_topk_ivf_fullprobe",
-        "pack_sequences",
-        "decontaminate",
-        "mix_sources",
+        "near_dup_minhash",
     ):
         assert name in window, f"{name} fell out of the driver's 50-entry window"
 
