@@ -149,9 +149,20 @@ def _assemble_bucket(group: pa.Table) -> pa.Table:
 
 
 def render_tiles_from(points_ds, z=DEFAULT_ZOOM):
-    """Any Dataset with lat/lon columns -> raster tiles at zoom z."""
+    """Any Dataset with lat/lon columns -> raster tiles at zoom z.
+
+    Partition count: ~8 tasks per core, not ~1. The reduce range-splits
+    1024 discrete bucket values, which quantizes unevenly (at ~CPU-count
+    partitions one partition held 9x the mean tile count and its single
+    1.7s assemble+color task WAS the flagship critical path). Finer
+    partitions cap the max-task size and let stragglers rebalance;
+    per-task overhead is ~ms against ~100ms groups. Measured at sf0.1 /
+    32 CPUs, interleaved same-load runs: z7 3.10s -> 2.55s, z10 4.25s ->
+    3.73s. At cluster scale the N_TILE_BUCKETS cap governs — raise it
+    together with zoom when tiles-per-bucket outgrows a worker's heap.
+    """
     partial = points_ds.map_batches(_partial_pixel_counts(z), batch_format="pyarrow")
-    npart = min(N_TILE_BUCKETS, max(64, shuffle_partitions(cap=N_TILE_BUCKETS)))
+    npart = min(N_TILE_BUCKETS, max(64, 8 * shuffle_partitions(cap=N_TILE_BUCKETS)))
     return partial.groupby("bucket", num_partitions=npart).map_groups(
         _assemble_bucket, batch_format="pyarrow"
     )
