@@ -1,0 +1,154 @@
+"""Link-graph analytics over the pages corpus: distributed PageRank.
+
+The canonical iterative web-graph algorithm, used in crawl pipelines as
+a per-page quality/priority weight. Exact INTEGER fixed point (micro
+rank units, floor division) so every engine computes bit-identical
+ranks regardless of summation order — the same trick label_centroids
+uses (Q20) to make a float-ish aggregate driver-hashable.
+
+Graph: each page links to ``FANOUT`` deterministic targets (an affine
+permutation, a 3-to-1 collapsing map, and a quadratic map — see
+``_link_dsts``/``_link_sql``), giving an in-degree distribution with
+hubs and orphans like a real href graph, derivable from doc_id alone.
+That determinism buys the 100 TB shape its efficiency: contributions
+are computed by a stateless flat-map over the CURRENT rank table (no
+edge materialization, no join — dst is arithmetic on src), so one
+iteration is exactly ONE keyed exchange of (dst, contribution) int64
+pairs + a bucketed sum. K iterations = K exchanges, each moving
+2 x FANOUT x n_nodes int64s, independent of text/html size. With a
+REAL edge table the flat-map becomes a bucketed hash join
+(stages/agg.py co-location pattern) keyed on src — the iteration
+structure is unchanged.
+
+Rank update (PageRank, damping 0.85, uniform base, all integer):
+    rank_0(v)     = RANK_UNIT
+    rank_{k+1}(v) = (15 * RANK_UNIT) // 100
+                    + (85 * sum_{u -> v}(rank_k(u) // FANOUT)) // 100
+
+Dangling mass lost to floor division is deterministic on both engines;
+nodes with no in-links keep the base term via a zero self-contribution
+emitted per node.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.agg import hash_bucket_agg
+
+RANK_UNIT = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = (100 - DAMP_NUM) * RANK_UNIT // DAMP_DEN  # 150_000
+FANOUT = 3
+N_ITER = 5
+
+
+def _link_dsts(src: np.ndarray, n: int) -> list[np.ndarray]:
+    """The three link maps (numpy side; int64-safe for n < ~2^26):
+    a permutation (uniform), a 3-to-1 collapse (hubs at low ids), and a
+    quadratic map (irregular in-degree incl. orphans)."""
+    return [
+        (src * 31 + 7) % n,
+        ((src // 3) * 97 + 13) % n,
+        (src * src + 29) % n,
+    ]
+
+
+def _link_sql(n_expr: str) -> list[str]:
+    """The same three maps as SQL dst expressions over column src;
+    ``n_expr`` is the node-count SQL expression (a CTE column, so the
+    oracle string is scale-independent)."""
+    return [
+        f"(src * 31 + 7) % {n_expr}",
+        f"((src // 3) * 97 + 13) % {n_expr}",
+        f"(src * src + 29) % {n_expr}",
+    ]
+
+
+def _n_docs(sf_dir) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def pagerank(sf_dir, n_iter=N_ITER):
+    """(doc_id, rank) after ``n_iter`` exact fixed-point iterations.
+
+    One lazy Dataset DAG: n_iter chained flat-map -> bucketed-sum
+    rounds over int64 pairs; the pages corpus itself is touched once.
+    """
+    import ray.data
+
+    n = _n_docs(sf_dir)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "rank": pa.array(
+                    np.full(b.num_rows, RANK_UNIT, np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        src = batch.column("doc_id").to_numpy()
+        rank = batch.column("rank").to_numpy()
+        share = rank // FANOUT
+        dsts = _link_dsts(src, n)
+        # zero self-row keeps no-inlink nodes in the domain
+        dst = np.concatenate(dsts + [src])
+        c = np.concatenate([share] * FANOUT + [np.zeros(len(src), np.int64)])
+        return pa.table(
+            {
+                "doc_id": pa.array(dst.astype(np.int64), pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def reduce_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False)["c"].sum()
+        out["rank"] = BASE + (DAMP_NUM * out["c"].to_numpy()) // DAMP_DEN
+        return out[["doc_id", "rank"]]
+
+    for _ in range(n_iter):
+        ds = hash_bucket_agg(
+            ds.map_batches(contribs, batch_format="pyarrow"),
+            "doc_id",
+            reduce_rank,
+            n_buckets=64,
+        )
+    return ds
+
+
+def pagerank_sql(n_iter=N_ITER) -> str:
+    """The same iterations unrolled as chained CTEs (all integer math;
+    scale-independent — the node count comes from a scalar CTE)."""
+    edge_union = " UNION ALL ".join(
+        f"SELECT src, {expr} AS dst "
+        f"FROM (SELECT doc_id AS src FROM documents), nn"
+        for expr in _link_sql("nn.c")
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        f"edges AS ({edge_union})",
+        f"r0 AS (SELECT doc_id, CAST({RANK_UNIT} AS BIGINT) AS rank FROM documents)",
+    ]
+    for k in range(n_iter):
+        ctes.append(
+            f"""r{k + 1} AS (
+  SELECT d.doc_id,
+         {BASE} + ({DAMP_NUM} * COALESCE(s.inc, 0)) // {DAMP_DEN} AS rank
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, SUM(r.rank // {FANOUT}) AS inc
+    FROM edges e JOIN r{k} r ON e.src = r.doc_id
+    GROUP BY e.dst
+  ) s ON d.doc_id = s.doc_id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, rank FROM r{n_iter}"

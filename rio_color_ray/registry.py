@@ -12,7 +12,7 @@ from typing import Any
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from .pipelines import corpus, curate, geo, knn, relational, tiles, web
+    from .pipelines import corpus, curate, geo, graph, knn, relational, tiles, web
 
     # Ordering matters: the graft driver's CORRECTNESS window covers the
     # FIRST 50 entries (dict order). Round-4 rotation: entries that have
@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": web.host_stats,
         "latest_page_snapshot": web.latest_page_snapshot,
         "url_canonical_dedup": web.url_canonical_dedup,
+        "pagerank": graph.pagerank,
         # round-4 additions (first driver pass)
         "ann_topk_ivf_fullprobe": corpus.ann_topk_ivf_fullprobe,
         "embedding_near_dup_exact": corpus.embedding_near_dup_exact,
@@ -81,10 +82,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate.curate_corpus,
         "near_dup_minhash": corpus.near_dup_pairs_minhash,
         "dedup_exact_docs": corpus.dedup_exact_docs,
-        "top_grid_cells": geo.top_grid_cells,
         # ---- driver window cutoff (entry 50) ----------------------------
         # everything below was driver-green in round 3 (CORRECTNESS_r03)
         # and stays pinned to its DuckDB/golden oracle in every pytest run
+        # (top_grid_cells: a strict derivative of the in-window
+        # grid_cell_agg, displaced by pagerank)
+        "top_grid_cells": geo.top_grid_cells,
         "dedup_exact_pages": corpus.dedup_exact_pages,
         "dedup_clusters": corpus.dedup_clusters,
         "near_dup_simhash": corpus.near_dup_pairs_simhash,

@@ -277,6 +277,7 @@ def test_registry_driver_window_keeps_key_oracles():
         "host_stats",
         "latest_page_snapshot",
         "url_canonical_dedup",
+        "pagerank",
         "ann_topk_ivf_fullprobe",
         "embedding_near_dup_exact",
         "cap_per_source",
