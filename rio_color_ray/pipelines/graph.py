@@ -140,12 +140,16 @@ def pagerank_sql(n_iter=N_ITER) -> str:
     ]
     for k in range(n_iter):
         ctes.append(
+            # CAST the summed in-flow back to BIGINT: DuckDB's SUM over
+            # BIGINT yields HUGEINT, which .df() renders as float64 and
+            # would spuriously fail the driver's value-hash against the
+            # Ray side's int64 (same convention as every other twin)
             f"""r{k + 1} AS (
   SELECT d.doc_id,
          {BASE} + ({DAMP_NUM} * COALESCE(s.inc, 0)) // {DAMP_DEN} AS rank
   FROM documents d
   LEFT JOIN (
-    SELECT e.dst AS doc_id, SUM(r.rank // {FANOUT}) AS inc
+    SELECT e.dst AS doc_id, CAST(SUM(r.rank // {FANOUT}) AS BIGINT) AS inc
     FROM edges e JOIN r{k} r ON e.src = r.doc_id
     GROUP BY e.dst
   ) s ON d.doc_id = s.doc_id

@@ -165,9 +165,7 @@ def url_canonical_dedup(sf_dir, replicate=1):
     """
 
     def expand_canon(batch: pa.Table) -> pd.DataFrame:
-        url = batch.column("url").combine_chunks() if isinstance(
-            batch.column("url"), pa.ChunkedArray
-        ) else batch.column("url")
+        url = batch.column("url").combine_chunks()
         did = _doc_ids(url)
         variants = [url]
         tracked = url.filter(pa.array(did % 2 == 1))
@@ -176,7 +174,7 @@ def url_canonical_dedup(sf_dir, replicate=1):
         anchored = url.filter(pa.array(did % 3 == 0))
         if len(anchored):
             variants.append(pc.binary_join_element_wise(anchored, _FRAGMENT, ""))
-        raw = pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in variants])
+        raw = pa.concat_arrays(variants)
         canon = pc.replace_substring_regex(raw, r"[?#].*$", "")
         df = pd.DataFrame({"canon_url": canon.to_pandas()})
         return df.groupby("canon_url", as_index=False).size().rename(columns={"size": "n"})

@@ -61,3 +61,30 @@ def arr_rgba():
         ).astype("uint8")
         * 10
     )
+
+
+def duckdb_con(tables=("documents",), sf=SF_SMOKE):
+    """A DuckDB connection with the given parquet tables as views —
+    the shared oracle-connection builder (one definition, not one per
+    test module)."""
+    import duckdb
+
+    c = duckdb.connect()
+    for t in tables:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    return c
+
+
+def oracle_check(ray_result, con, sql):
+    """Value-for-value compare of a Ray result against its DuckDB twin,
+    exactly as the external driver does it: sort columns by name, sort
+    rows by all columns, exact values. Returns the Ray-side frame."""
+    import pandas as pd
+
+    rdf = ray_result if isinstance(ray_result, pd.DataFrame) else ray_result.to_pandas()
+    odf = con.sql(sql).df()
+    cols = sorted(rdf.columns)
+    a = rdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    return rdf

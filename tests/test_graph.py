@@ -1,35 +1,27 @@
 """Distributed PageRank vs its unrolled-CTE DuckDB twin."""
 
-import duckdb
 import numpy as np
-import pandas as pd
 import pytest
 
-SF = "/root/testdata/sf0.001"
+from conftest import SF_SMOKE as SF
+from conftest import duckdb_con, oracle_check
 
 
 @pytest.fixture(scope="module")
 def con():
-    c = duckdb.connect()
-    c.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
-    )
-    return c
+    return duckdb_con()
 
 
 def test_pagerank_matches_sql_twin(ray_session, con):
     from rio_color_ray.pipelines import graph
 
-    rdf = graph.pagerank(SF).to_pandas()
-    odf = con.sql(graph.pagerank_sql()).df()
-    cols = sorted(rdf.columns)
-    a = rdf[cols].sort_values(cols).reset_index(drop=True)
-    b = odf[cols].sort_values(cols).reset_index(drop=True)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    out = oracle_check(graph.pagerank(SF), con, graph.pagerank_sql())
     # the skewed link maps must actually produce a skewed rank vector
     # (a permutation graph degenerates to uniform ranks — see _link_dsts)
-    assert a["rank"].nunique() > 100
-    assert a["rank"].max() > 5 * a["rank"].min()
+    assert out["rank"].nunique() > 100
+    assert out["rank"].max() > 5 * out["rank"].min()
+    # the oracle must hand the driver int64, not HUGEINT-degraded float64
+    assert str(con.sql(graph.pagerank_sql()).df()["rank"].dtype) == "int64"
 
 
 def test_pagerank_matches_local_reference(ray_session):
@@ -52,7 +44,7 @@ def test_pagerank_matches_local_reference(ray_session):
 
 def test_pagerank_single_iteration_base_case(ray_session):
     """After one iteration a node's rank is BASE + damped floor-shares
-    of its in-links — checked for an orphan-free low id."""
+    of its in-links — in-degree times the uniform share."""
     from rio_color_ray.pipelines import graph
 
     n = graph._n_docs(SF)

@@ -1,29 +1,14 @@
 """Web-corpus page operators vs their DuckDB oracle twins (sf0.001)."""
 
-import duckdb
-import pandas as pd
 import pytest
 
-SF = "/root/testdata/sf0.001"
+from conftest import SF_SMOKE as SF
+from conftest import duckdb_con, oracle_check
 
 
 @pytest.fixture(scope="module")
 def con():
-    c = duckdb.connect()
-    c.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
-    )
-    return c
-
-
-def _check(ray_result, con, sql):
-    rdf = ray_result if isinstance(ray_result, pd.DataFrame) else ray_result.to_pandas()
-    odf = con.sql(sql).df()
-    cols = sorted(rdf.columns)
-    a = rdf[cols].sort_values(cols).reset_index(drop=True)
-    b = odf[cols].sort_values(cols).reset_index(drop=True)
-    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-    return rdf
+    return duckdb_con()
 
 
 @pytest.fixture(scope="module")
@@ -39,7 +24,7 @@ def test_extract_text_byte_identical(ray_session, con, cte):
     against an oracle that never touches the html."""
     from rio_color_ray.pipelines import web
 
-    out = _check(web.extract_text(SF), con, web.extract_text_sql(cte))
+    out = oracle_check(web.extract_text(SF), con, web.extract_text_sql(cte))
     assert len(out) == 500
     assert out["text"].notna().all()
 
@@ -47,7 +32,7 @@ def test_extract_text_byte_identical(ray_session, con, cte):
 def test_host_stats(ray_session, con, cte):
     from rio_color_ray.pipelines import web
 
-    out = _check(web.host_stats(SF), con, web.host_stats_sql(cte))
+    out = oracle_check(web.host_stats(SF), con, web.host_stats_sql(cte))
     # one host per documents.source; counts cover the whole corpus
     assert out["n_pages"].sum() == 500
     assert (out["n_langs"] >= 1).all()
@@ -56,7 +41,9 @@ def test_host_stats(ray_session, con, cte):
 def test_latest_page_snapshot(ray_session, con, cte):
     from rio_color_ray.pipelines import web
 
-    out = _check(web.latest_page_snapshot(SF), con, web.latest_page_snapshot_sql(cte))
+    out = oracle_check(
+        web.latest_page_snapshot(SF), con, web.latest_page_snapshot_sql(cte)
+    )
     # 4 crawls per canonical page; the kept doc is the group max
     assert len(out) == 125
     assert (out["canon_id"] % 4 == 0).all()
@@ -68,7 +55,9 @@ def test_latest_page_snapshot(ray_session, con, cte):
 def test_url_canonical_dedup(ray_session, con, cte):
     from rio_color_ray.pipelines import web
 
-    out = _check(web.url_canonical_dedup(SF), con, web.url_canonical_dedup_sql(cte))
+    out = oracle_check(
+        web.url_canonical_dedup(SF), con, web.url_canonical_dedup_sql(cte)
+    )
     # every page keeps its canonical url; variant multiplicity is
     # 1 + (odd) + (div by 3): doc_id 0 -> 2, 1 -> 2, 3 -> 3, 2 -> 1
     assert len(out) == 500
@@ -86,6 +75,7 @@ def test_extract_text_handles_markup_in_text(ray_session):
     unchanged (the regex anchors on the document tail, not the first
     closing tag)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from rio_color_ray.pipelines import web
     from rio_color_ray.sources.pages import synth_pages_batch
@@ -100,7 +90,5 @@ def test_extract_text_handles_markup_in_text(ray_session):
         }
     )
     pages = synth_pages_batch(batch)
-    import pyarrow.compute as pc
-
     hits = pc.extract_regex(pc.cast(pages.column("html"), pa.string()), web._TEXT_RE)
     assert pc.struct_field(hits, "text").to_pylist() == [tricky]
