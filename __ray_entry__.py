@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from rio_color_ray.pipelines import curate, web
+    from rio_color_ray.pipelines.corpus import dedup_incremental_sql
     from rio_color_ray.pipelines.graph import pagerank_sql
     from rio_color_ray.pipelines import relational as R
     from rio_color_ray.pipelines.knn import knn_sql
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         # LSH configuration; see embedding_near_dup_exact)
         "embedding_dup_clusters": embedding_dup_clusters_sql(),
         "pagerank": pagerank_sql(),
+        "dedup_incremental": dedup_incremental_sql(),
         "extract_text": web.extract_text_sql(pages),
         "host_stats": web.host_stats_sql(pages),
         "latest_page_snapshot": web.latest_page_snapshot_sql(pages),

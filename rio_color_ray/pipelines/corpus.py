@@ -197,6 +197,64 @@ def dedup_exact_pages(sf_dir, replicate=3):
     return exact_dedup(ds, key_col="text", id_col="url")
 
 
+SHARD_ID_OFFSET = 10_000_000
+
+
+def dedup_incremental(sf_dir):
+    """Incremental ingestion dedup: anti-join a new crawl shard against
+    the existing corpus by content hash — the daily-delta pattern that
+    keeps a 100 TB corpus append-only (only the delta is hashed fresh;
+    the base corpus contributes (hash) rows it can serve from a stored
+    hash column in practice).
+
+    The shard is derived deterministically from the base: even doc_ids
+    re-crawl unchanged (pure duplicates, dropped), odd doc_ids carry
+    edited text (kept). One exchange moves (h64, side, id) triples into
+    hash buckets; inside each bucket a vectorized isin drops shard rows
+    whose hash exists on the base side. Returns Dataset[new_id] of the
+    genuinely new documents. Same 64-bit collision caveat as
+    ``exact_dedup`` (stages/dedup.py module docs); exact at test scale
+    against a text NOT IN text oracle.
+    """
+    from ..stages.agg import hash_bucket_agg
+
+    base = documents(sf_dir)
+
+    def base_hashes(batch: pa.Table) -> pd.DataFrame:
+        vals = batch.column("text").to_pandas().to_numpy()
+        h = pd.util.hash_array(vals).astype(np.int64)
+        # per-batch distinct: the exchange carries unique hashes, not rows
+        return pd.DataFrame({"h64": np.unique(h), "side": 0, "new_id": -1})
+
+    def shard_hashes(batch: pa.Table) -> pd.DataFrame:
+        did = batch.column("doc_id").to_numpy()
+        txt = batch.column("text").to_pandas().to_numpy(dtype=object)
+        edited = np.where(did % 2 == 1, txt + " v2", txt)
+        h = pd.util.hash_array(edited).astype(np.int64)
+        return pd.DataFrame(
+            {"h64": h, "side": 1, "new_id": did + SHARD_ID_OFFSET}
+        )
+
+    rows = base.map_batches(base_hashes, batch_format="pyarrow").union(
+        base.map_batches(shard_hashes, batch_format="pyarrow")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        seen = df.loc[df["side"] == 0, "h64"]
+        new = df[df["side"] == 1]
+        return new.loc[~new["h64"].isin(seen), ["new_id"]]
+
+    return hash_bucket_agg(rows, "h64", anti)
+
+
+def dedup_incremental_sql() -> str:
+    return f"""WITH shard AS (
+  SELECT doc_id + {SHARD_ID_OFFSET} AS new_id,
+         CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+  FROM documents)
+SELECT new_id FROM shard WHERE text NOT IN (SELECT text FROM documents)"""
+
+
 def _verify_pairs_jaccard(cand_ds, docs_ds, threshold, n_buckets=32):
     """Distributed exact-Jaccard verification of candidate id pairs.
 

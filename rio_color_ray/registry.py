@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grid_cell_agg, displaced by pagerank)
         "top_grid_cells": geo.top_grid_cells,
         "dedup_exact_pages": corpus.dedup_exact_pages,
+        "dedup_incremental": corpus.dedup_incremental,
         "dedup_clusters": corpus.dedup_clusters,
         "near_dup_simhash": corpus.near_dup_pairs_simhash,
         "near_dup_jaccard": corpus.near_dup_pairs_jaccard,

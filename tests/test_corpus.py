@@ -880,3 +880,19 @@ def test_sample_embeddings_spread_empty_file(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="no rows"):
         sample_embeddings_spread(path, 16)
+
+
+def test_dedup_incremental_matches_oracle(ray_session):
+    """Anti-join of the derived crawl shard against the base corpus:
+    even doc_ids re-crawl unchanged (dropped), odd doc_ids carry edited
+    text (kept) — value-exact against the text NOT IN text twin."""
+    from conftest import duckdb_con, oracle_check
+    from rio_color_ray.pipelines import corpus
+
+    con = duckdb_con(sf=SF)
+    out = oracle_check(
+        corpus.dedup_incremental(SF), con, corpus.dedup_incremental_sql()
+    )
+    assert len(out) == 250
+    kept = out["new_id"].to_numpy() - corpus.SHARD_ID_OFFSET
+    assert (kept % 2 == 1).all()
