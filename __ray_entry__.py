@@ -154,6 +154,9 @@ def oracle_sql() -> dict[str, str]:
         # LSH configuration; see embedding_near_dup_exact)
         "embedding_dup_clusters": embedding_dup_clusters_sql(),
         "pagerank": pagerank_sql(),
+        # same fixed point, computed over the EXTRACTED href edge table
+        # through the bucketed hash join — one oracle, two engines' paths
+        "pagerank_edges": pagerank_sql(),
         "dedup_incremental": dedup_incremental_sql(),
         "extract_text": web.extract_text_sql(pages),
         "host_stats": web.host_stats_sql(pages),

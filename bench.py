@@ -57,16 +57,22 @@ def _settle(max_wait=240, threshold=1.0):
     for identical code on busy vs quiet). Ambient load on this box comes
     in multi-minute waves with quiet gaps (loadavg 0.3-0.5) between them
     — 240s is long enough to usually catch a gap, and threshold 1.0
-    accepts the near-quiet state the 1-minute average decays through."""
+    accepts the near-quiet state the 1-minute average decays through.
+
+    Returns ``(waited_s, timed_out)`` so the emitted JSON can say whether
+    the gate was met or silently abandoned (VERDICT r04 #1: a reading
+    taken after a timed-out settle must be interpretable as such)."""
     t0 = time.time()
     while time.time() - t0 < max_wait:
         if os.getloadavg()[0] < threshold:
-            return
+            return round(time.time() - t0, 1), False
         time.sleep(5)
+    return round(time.time() - t0, 1), True
 
 
 def run_bench():
-    _settle()
+    settle_waited_s, settle_timed_out = _settle()
+    loadavg_pre = os.getloadavg()
     ray = _init_ray(NUM_CPUS)
     from rio_color_ray.pipelines import geo
     from rio_color_ray.pipelines.flagship import flagship
@@ -76,6 +82,12 @@ def run_bench():
     flagship(SF_DIR, replicate=REPLICATE).count()
 
     queries = {}
+    # self-interpreting evidence (VERDICT r04 #1): every raw sample and
+    # the loadavg bracketing each query, so a noisy reading is visibly
+    # noisy (spread in `samples`, elevated `loadavg`) in the artifact
+    # itself rather than only in builder-side notes.
+    samples: dict[str, list[float]] = {}
+    loadavg: dict[str, list[float]] = {}
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
 
     def timed(name, make, consume=lambda ds: ds.count(), runs=None):
@@ -83,12 +95,18 @@ def run_bench():
         # additive (identical code measured 3.1-7.8s for the flagship
         # depending on neighbor load), so min estimates true capability
         best, out = None, None
+        la = [round(os.getloadavg()[0], 2)]
+        runs_s = []
         for _ in range(runs or n_runs):
             t0 = time.time()
             out = consume(make())
             dt = time.time() - t0
+            runs_s.append(round(dt, 3))
+            la.append(round(os.getloadavg()[0], 2))
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
+        samples[name] = runs_s
+        loadavg[name] = la
         return out
 
     # FLAGSHIP FIRST (round-4 fix): round 3 timed it AFTER >20s of
@@ -148,6 +166,14 @@ def run_bench():
         # join+tile path, and color-corrected tiles out of the color stage
         "color_tiles_per_sec": round(n_tiles / flag_sec, 1),
         "color_tiles_per_sec_z10": round(n_tiles_z10 / queries["flagship_z10"], 1),
+        # evidence block: raw per-run seconds and the 1-min loadavg
+        # observed before the first and after every run of each query
+        "samples": samples,
+        "loadavg": loadavg,
+        "settle_waited_s": settle_waited_s,
+        "settle_timed_out": settle_timed_out,
+        "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+        "loadavg_post": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -155,6 +181,7 @@ def run_bench():
 
 
 def run_scaling_child(num_cpus, n_runs=4):
+    loadavg_pre = os.getloadavg()
     ray = _init_ray(num_cpus)
     from rio_color_ray.pipelines.flagship import flagship
 
@@ -188,6 +215,8 @@ def run_scaling_child(num_cpus, n_runs=4):
                 "n_pages": n_pages,
                 "n_tiles": int(n_tiles),
                 "rows_joined_tiled_per_sec": round(n_pages / dt, 1),
+                "loadavg_pre": [round(x, 2) for x in loadavg_pre],
+                "loadavg_post": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )
@@ -197,7 +226,12 @@ def run_scaling_child(num_cpus, n_runs=4):
 def run_scaling(lo=2, hi=8):
     def run(ncpu):
         # eff measured 0.45 busy vs 0.89 quiet for identical code
-        _settle(max_wait=180)
+        waited, timed_out = _settle(max_wait=180)
+        print(
+            f"settle before {ncpu}-CPU child: waited {waited}s"
+            f"{' (TIMED OUT, box still busy)' if timed_out else ''}",
+            file=sys.stderr,
+        )
         # PIN the child (and everything it forks — Ray workers, object
         # store) to exactly ncpu cores: ray.init(num_cpus=N) only bounds
         # task SLOTS, and on a quiet box a 2-slot session's auxiliary
@@ -257,6 +291,8 @@ def run_scaling(lo=2, hi=8):
                 f"throughput_{hi}": tp_hi,
                 f"all_runs_sec_{lo}": r_lo["all_runs_sec"],
                 f"all_runs_sec_{hi}": r_hi["all_runs_sec"],
+                f"loadavg_{lo}": r_lo["loadavg_pre"] + r_lo["loadavg_post"],
+                f"loadavg_{hi}": r_hi["loadavg_pre"] + r_hi["loadavg_post"],
                 "replicate": SCALING_REPLICATE,
                 "zoom": SCALING_ZOOM,
                 "sf": SF_DIR,

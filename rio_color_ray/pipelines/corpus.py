@@ -209,30 +209,41 @@ def dedup_incremental(sf_dir):
 
     The shard is derived deterministically from the base: even doc_ids
     re-crawl unchanged (pure duplicates, dropped), odd doc_ids carry
-    edited text (kept). One exchange moves (h64, side, id) triples into
-    hash buckets; inside each bucket a vectorized isin drops shard rows
-    whose hash exists on the base side. Returns Dataset[new_id] of the
-    genuinely new documents. Same 64-bit collision caveat as
-    ``exact_dedup`` (stages/dedup.py module docs); exact at test scale
-    against a text NOT IN text oracle.
+    edited text (kept). One exchange moves (h64, h64b, side, id) rows
+    into hash buckets; inside each bucket a vectorized anti-join drops
+    shard rows whose hash PAIR exists on the base side. The second,
+    independently-keyed 64-bit hash makes the drop decision effectively
+    128-bit (ADVICE r04): a single-hash collision would silently lose a
+    genuinely new document at corpus scale, and carrying 8 more bytes
+    per row through the exchange is far cheaper than carrying the text.
+    Exact at test scale against a text NOT IN text oracle.
     """
     from ..stages.agg import hash_bucket_agg
 
     base = documents(sf_dir)
 
+    # pandas' siphash over object arrays takes a 16-byte key; two
+    # independent keys give two independent 64-bit hashes
+    _KEY2 = "rio-color-ray-k2"
+
     def base_hashes(batch: pa.Table) -> pd.DataFrame:
         vals = batch.column("text").to_pandas().to_numpy()
         h = pd.util.hash_array(vals).astype(np.int64)
-        # per-batch distinct: the exchange carries unique hashes, not rows
-        return pd.DataFrame({"h64": np.unique(h), "side": 0, "new_id": -1})
+        h2 = pd.util.hash_array(vals, hash_key=_KEY2).astype(np.int64)
+        # per-batch distinct: the exchange carries unique pairs, not rows
+        df = pd.DataFrame({"h64": h, "h64b": h2}).drop_duplicates()
+        df["side"] = 0
+        df["new_id"] = -1
+        return df
 
     def shard_hashes(batch: pa.Table) -> pd.DataFrame:
         did = batch.column("doc_id").to_numpy()
         txt = batch.column("text").to_pandas().to_numpy(dtype=object)
         edited = np.where(did % 2 == 1, txt + " v2", txt)
         h = pd.util.hash_array(edited).astype(np.int64)
+        h2 = pd.util.hash_array(edited, hash_key=_KEY2).astype(np.int64)
         return pd.DataFrame(
-            {"h64": h, "side": 1, "new_id": did + SHARD_ID_OFFSET}
+            {"h64": h, "h64b": h2, "side": 1, "new_id": did + SHARD_ID_OFFSET}
         )
 
     rows = base.map_batches(base_hashes, batch_format="pyarrow").union(
@@ -240,9 +251,15 @@ def dedup_incremental(sf_dir):
     )
 
     def anti(df: pd.DataFrame) -> pd.DataFrame:
-        seen = df.loc[df["side"] == 0, "h64"]
+        base_side = df[df["side"] == 0]
         new = df[df["side"] == 1]
-        return new.loc[~new["h64"].isin(seen), ["new_id"]]
+        merged = new.merge(
+            base_side[["h64", "h64b"]].drop_duplicates(),
+            on=["h64", "h64b"],
+            how="left",
+            indicator=True,
+        )
+        return merged.loc[merged["_merge"] == "left_only", ["new_id"]]
 
     return hash_bucket_agg(rows, "h64", anti)
 
@@ -677,11 +694,21 @@ def embeddings_replicated(sf_dir, replicate=1):
                 j = (h / 499.5) - 1.0
                 j = j / np.linalg.norm(j, axis=1, keepdims=True)
                 v = vecs + _JITTER_SCALE * j
+            # ListArray straight from the flat float64 buffer — no
+            # per-row Python list materialization (ADVICE r04)
+            dim = v.shape[1]
+            emb = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (len(vid) + 1) * dim, dim, dtype=np.int32),
+                    pa.int32(),
+                ),
+                pa.array(np.ascontiguousarray(v, dtype=np.float64).ravel(), pa.float64()),
+            )
             out.append(
                 pa.table(
                     {
                         "vec_id": pa.array(vid + r * VEC_REP_STRIDE, pa.int64()),
-                        "embedding": pa.array(list(v)),
+                        "embedding": emb,
                     }
                 )
             )

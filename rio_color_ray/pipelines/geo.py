@@ -39,22 +39,30 @@ def _stateful(ds, cls, args, use_actors, concurrency):
 N_SALT = 16  # salt fan-out for hot-cell aggregation
 
 
-def pages(sf_dir, replicate=1):
+def pages(sf_dir, replicate=1, links_n=0):
     """The Common-Crawl-style corpus (url, warc_ts, html, text, lang).
 
     ``replicate > 1`` unions that many deterministic corpus copies
     (distinct urls/coords) — bench-scale input without external data.
+    ``links_n > 0`` embeds the outbound href elements (sources/pages.py)
+    used by the link-graph pipelines; off elsewhere so the geocode/tile
+    path never pays for them.
     """
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "text", "lang"],  # n_chars never used
     )
     if replicate <= 1:
-        return docs.map_batches(synth_pages_batch, batch_format="pyarrow")
+        return docs.map_batches(
+            lambda b: synth_pages_batch(b, links_n=links_n), batch_format="pyarrow"
+        )
 
     def expand(batch: pa.Table) -> pa.Table:
         return pa.concat_tables(
-            [synth_pages_batch(batch, replica=r) for r in range(replicate)]
+            [
+                synth_pages_batch(batch, replica=r, links_n=links_n)
+                for r in range(replicate)
+            ]
         )
 
     return docs.map_batches(expand, batch_format="pyarrow")

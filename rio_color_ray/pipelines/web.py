@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..sources.pages import LINK_FANOUT as _LINK_FANOUT
 from ..stages.agg import hash_bucket_agg
 from .geo import pages
 
@@ -198,3 +199,48 @@ def url_canonical_dedup_sql(pages_cte: str) -> str:
 SELECT regexp_replace(url, '[?#].*$', '') AS canon_url,
        count(*) AS n_variants
 FROM variants GROUP BY 1"""
+
+
+def _n_docs(sf_dir) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def extract_links(sf_dir, replicate=1):
+    """pages (href-bearing html) -> the ``links(src, dst)`` edge table.
+
+    The crawl-side half of PageRank: the source synthesizes pages WITH
+    outbound ``<link rel="lK" href="/doc/D">`` elements
+    (``synth_pages_batch(links_n=n)``), and this stage parses them back
+    out — one vectorized RE2 pass per link slot (RE2 has no repeated
+    capture groups, so K anchored extracts replace one; K is the fixed
+    per-page fanout). Exchange-free: edges stream out of the same
+    map_batches that parsed them, int64 pairs only.
+    """
+    n = _n_docs(sf_dir)
+    href_res = [
+        rf'rel="l{k}" href="/doc/(?P<dst>\d+)"' for k in range(_LINK_FANOUT)
+    ]
+
+    def extract(batch: pa.Table) -> pa.Table:
+        html_str = pc.cast(batch.column("html"), pa.string())
+        src = _doc_ids(batch.column("url"))
+        srcs, dsts = [], []
+        for pat in href_res:
+            hits = pc.extract_regex(html_str, pat)
+            dst = pc.cast(pc.struct_field(hits, "dst"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            srcs.append(src)
+            dsts.append(dst)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(srcs), pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+            }
+        )
+
+    return pages(sf_dir, replicate=replicate, links_n=n).map_batches(
+        extract, batch_format="pyarrow"
+    )

@@ -15,81 +15,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from .pipelines import corpus, curate, geo, graph, knn, relational, tiles, web
 
     # Ordering matters: the graft driver's CORRECTNESS window covers the
-    # FIRST 50 entries (dict order). Round-4 rotation: entries that have
-    # NEVER had a driver-verified row (the web-corpus family and the
-    # round-4 additions) plus the relational family (last driver-green in
-    # round 2) lead; the LLM-data-pipeline family (driver-green across
-    # rounds 1-3) absorbs the cutoff this round, so every registry entry
-    # has a driver-verified green row within the last two rounds. The
-    # tail is NOT unguarded: tests/test_corpus.py, test_curate.py and
-    # test_pipelines.py run every tail query against its DuckDB oracle
-    # value-for-value in every pytest run, so a regression via shared
-    # helpers (hash_bucket_agg, bucketed joins) still fails the suite.
+    # FIRST 50 entries (dict order); see the window comment inside.
     return {
-        # web corpus (Common-Crawl page ops; new in round 4)
-        "extract_text": web.extract_text,
-        "host_stats": web.host_stats,
-        "latest_page_snapshot": web.latest_page_snapshot,
-        "url_canonical_dedup": web.url_canonical_dedup,
-        "pagerank": graph.pagerank,
-        # round-4 additions (first driver pass)
-        "ann_topk_ivf_fullprobe": corpus.ann_topk_ivf_fullprobe,
-        "embedding_near_dup_exact": corpus.embedding_near_dup_exact,
-        "cap_per_source": curate.cap_per_source,
-        "length_filter_median": curate.length_filter_median,
-        "shuffle_shards": curate.shuffle_shards,
-        "embedding_dup_clusters": corpus.embedding_dup_clusters,
-        "token_counts_bpe": corpus.token_counts_bpe,
-        # relational (TPC-H-ish + events; rotated back into the window
-        # for a fresh hard-signal pass, VERDICT r03 ask #8)
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_top_orders": relational.q3_top_orders,
-        "q5_nation_revenue": relational.q5_nation_revenue,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "events_daily": relational.events_daily,
-        "events_sliding_window": relational.events_sliding_window,
-        "sessionize": relational.sessionize,
-        "top_users_by_value": relational.top_users_by_value,
-        "distinct_users_per_type": relational.distinct_users_per_type,
-        "q10_returned_revenue": relational.q10_returned_revenue,
-        "q18_large_orders": relational.q18_large_orders,
-        "asof_join_clicks": relational.asof_join_clicks,
-        "topk_orders_per_priority": relational.topk_orders_per_priority,
-        "value_quantiles_per_type": relational.value_quantiles_per_type,
-        "range_join_clicks": relational.range_join_clicks,
-        "customer_order_counts": relational.customer_order_counts,
-        "event_gaps": relational.event_gaps,
-        "users_click_and_purchase": relational.users_click_and_purchase,
-        "events_pivot": relational.events_pivot,
-        "late_events": relational.late_events,
-        "q4_late_shipments": relational.q4_late_shipments,
-        "user_running_value": relational.user_running_value,
-        "approx_distinct_users_kmv": relational.approx_distinct_users_kmv,
-        "events_rollup": relational.events_rollup,
-        "users_click_no_purchase": relational.users_click_no_purchase,
-        # byte-exact flagship evidence + north-rule geospatial core:
-        # these keep a driver row EVERY round
-        "render_tiles_content": tiles.render_tiles_content,
-        "color_tiles_content": tiles.color_tiles_content,
-        "geocode": geo.geocode_query,
-        "grid_cell_agg": geo.grid_cell_agg,
-        "cell_agg_salted_h8": lambda sf: geo.cell_agg_salted(sf, "h3_r8"),
-        "cell_agg_s2": geo.cell_agg_s2,
-        "rect_join": geo.rect_join,
-        "pip_join": geo.pip_join,
-        "knn_cells": knn.knn_cells,
-        "curate_corpus": curate.curate_corpus,
-        "near_dup_minhash": corpus.near_dup_pairs_minhash,
-        "dedup_exact_docs": corpus.dedup_exact_docs,
-        # ---- driver window cutoff (entry 50) ----------------------------
-        # everything below was driver-green in round 3 (CORRECTNESS_r03)
-        # and stays pinned to its DuckDB/golden oracle in every pytest run
-        # (top_grid_cells: a strict derivative of the in-window
-        # grid_cell_agg, displaced by pagerank)
+        # --- round-5 window (first 50; driver verifies dict order) ------
+        # Final-round rotation (VERDICT r04 #2/#3): IN the window is
+        # everything whose last driver-green row is round 3 or that has
+        # never had one (dedup_incremental — ADVICE r04; pagerank_edges —
+        # new this round), plus the byte-exact flagship-evidence core that
+        # keeps a driver row every round. Everything driver-green in
+        # round 4 (web family, pagerank, the round-4 additions, the
+        # relational block, cell_agg_s2, knn_cells) drops below the
+        # cutoff, so the union of CORRECTNESS_r04 + r05 covers the whole
+        # registry. The tail stays pytest-pinned to its DuckDB oracles.
+        "pagerank_edges": graph.pagerank_edges,
+        "dedup_incremental": corpus.dedup_incremental,
         "top_grid_cells": geo.top_grid_cells,
         "dedup_exact_pages": corpus.dedup_exact_pages,
-        "dedup_incremental": corpus.dedup_incremental,
         "dedup_clusters": corpus.dedup_clusters,
         "near_dup_simhash": corpus.near_dup_pairs_simhash,
         "near_dup_jaccard": corpus.near_dup_pairs_jaccard,
@@ -126,4 +67,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": knn.knn,
         "render_tiles": tiles.render_tiles,
         "color_tiles": tiles.color_tiles,
+        # byte-exact flagship evidence + north-rule geospatial core:
+        # these keep a driver row EVERY round
+        "render_tiles_content": tiles.render_tiles_content,
+        "color_tiles_content": tiles.color_tiles_content,
+        "geocode": geo.geocode_query,
+        "grid_cell_agg": geo.grid_cell_agg,
+        "cell_agg_salted_h8": lambda sf: geo.cell_agg_salted(sf, "h3_r8"),
+        "rect_join": geo.rect_join,
+        "pip_join": geo.pip_join,
+        "curate_corpus": curate.curate_corpus,
+        "near_dup_minhash": corpus.near_dup_pairs_minhash,
+        "dedup_exact_docs": corpus.dedup_exact_docs,
+        # ---- driver window cutoff (entry 50) ----------------------------
+        # everything below was driver-green in round 4 (CORRECTNESS_r04)
+        # and stays pinned to its DuckDB/golden oracle in every pytest run
+        "extract_text": web.extract_text,
+        "host_stats": web.host_stats,
+        "latest_page_snapshot": web.latest_page_snapshot,
+        "url_canonical_dedup": web.url_canonical_dedup,
+        "pagerank": graph.pagerank,
+        "ann_topk_ivf_fullprobe": corpus.ann_topk_ivf_fullprobe,
+        "embedding_near_dup_exact": corpus.embedding_near_dup_exact,
+        "cap_per_source": curate.cap_per_source,
+        "length_filter_median": curate.length_filter_median,
+        "shuffle_shards": curate.shuffle_shards,
+        "embedding_dup_clusters": corpus.embedding_dup_clusters,
+        "token_counts_bpe": corpus.token_counts_bpe,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "events_daily": relational.events_daily,
+        "events_sliding_window": relational.events_sliding_window,
+        "sessionize": relational.sessionize,
+        "top_users_by_value": relational.top_users_by_value,
+        "distinct_users_per_type": relational.distinct_users_per_type,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q18_large_orders": relational.q18_large_orders,
+        "asof_join_clicks": relational.asof_join_clicks,
+        "topk_orders_per_priority": relational.topk_orders_per_priority,
+        "value_quantiles_per_type": relational.value_quantiles_per_type,
+        "range_join_clicks": relational.range_join_clicks,
+        "customer_order_counts": relational.customer_order_counts,
+        "event_gaps": relational.event_gaps,
+        "users_click_and_purchase": relational.users_click_and_purchase,
+        "events_pivot": relational.events_pivot,
+        "late_events": relational.late_events,
+        "q4_late_shipments": relational.q4_late_shipments,
+        "user_running_value": relational.user_running_value,
+        "approx_distinct_users_kmv": relational.approx_distinct_users_kmv,
+        "events_rollup": relational.events_rollup,
+        "users_click_no_purchase": relational.users_click_no_purchase,
+        "cell_agg_s2": geo.cell_agg_s2,
+        "knn_cells": knn.knn_cells,
     }

@@ -113,8 +113,37 @@ def pages_sql_cte():
 # integer hash math in int64 range up to ~900 replicas of 10M-doc tables
 REP_STRIDE = 10_000_000
 
+# ---------------------------------------------------------------------------
+# link graph: each page links to LINK_FANOUT deterministic targets; with
+# ``links_n`` set, synth_pages_batch embeds them as <link href="/doc/D">
+# elements in the html head, and pipelines/web.py extracts them back out
+# as the (src, dst) edge table that pipelines/graph.py ranks over. The
+# three maps (an affine permutation, a 3-to-1 collapse, a quadratic map)
+# give hubs and orphans like a real href graph; ``n`` is the corpus size.
 
-def synth_pages_batch(batch: pa.Table, replica: int = 0) -> pa.Table:
+LINK_FANOUT = 3
+# the quadratic map squares doc_id before the % n: beyond ~2^26 the
+# numpy int64 product silently wraps while DuckDB's BIGINT raises, so
+# the engines would diverge — guard at runtime, not just in docs
+LINK_MAX_NODES = 1 << 26
+
+
+def link_dsts(src: np.ndarray, n: int) -> list[np.ndarray]:
+    """The three link maps (numpy side). ``_link_sql`` in
+    pipelines/graph.py is the SQL mirror — keep them in lockstep."""
+    if n >= LINK_MAX_NODES or (len(src) and int(src.max()) >= LINK_MAX_NODES):
+        raise ValueError(
+            f"link graph maps are int64-overflow-safe only below "
+            f"{LINK_MAX_NODES} nodes (quadratic map squares doc_id); got n={n}"
+        )
+    return [
+        (src * 31 + 7) % n,
+        ((src // 3) * 97 + 13) % n,
+        (src * src + 29) % n,
+    ]
+
+
+def synth_pages_batch(batch: pa.Table, replica: int = 0, links_n: int = 0) -> pa.Table:
     """documents batch -> pages batch (Arrow in / Arrow out, vectorized).
 
     The per-batch body of the pages source stage:
@@ -125,6 +154,12 @@ def synth_pages_batch(batch: pa.Table, replica: int = 0) -> pa.Table:
     ``replica > 0`` derives an additional deterministic corpus copy with
     distinct urls/coords (same text per url) — used by bench.py to scale
     the streamed corpus without external data.
+
+    ``links_n > 0`` additionally embeds ``LINK_FANOUT`` outbound
+    ``<link rel="lK" href="/doc/D">`` elements in the head (targets from
+    :func:`link_dsts` over a ``links_n``-node graph) — the href source
+    for the link-graph pipelines. Off by default so the geocode/tile
+    flagship path never pays the extra string assembly.
     """
     doc_id = batch.column("doc_id").to_numpy() + replica * REP_STRIDE
     source = batch.column("source")
@@ -148,10 +183,17 @@ def synth_pages_batch(batch: pa.Table, replica: int = 0) -> pa.Table:
     head = pa.array(
         np.char.add(
             np.char.add('<!doctype html><html><head><meta name="geo.position" content="', lat_s),
-            np.char.add(";", np.char.add(lon_s, '"></head><body><p>')),
+            np.char.add(";", np.char.add(lon_s, '">')),
         )
     )
-    html_str = pc.binary_join_element_wise(head, text, pa.scalar("</p></body></html>"), "")
+    parts = [head]
+    if links_n:
+        for k, dst in enumerate(link_dsts(doc_id, links_n)):
+            parts.append(pa.scalar(f'<link rel="l{k}" href="/doc/'))
+            parts.append(pc.cast(pa.array(dst), pa.string()))
+            parts.append(pa.scalar('">'))
+    parts.append(pa.scalar("</head><body><p>"))
+    html_str = pc.binary_join_element_wise(*parts, text, pa.scalar("</p></body></html>"), "")
     html = pc.cast(html_str, pa.binary())
 
     return pa.table(

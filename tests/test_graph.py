@@ -58,3 +58,54 @@ def test_pagerank_single_iteration_base_case(ray_session):
         np.add.at(indeg, dst, 1)
     expect = graph.BASE + (graph.DAMP_NUM * indeg * share) // graph.DAMP_DEN
     assert np.array_equal(out.sort_index().to_numpy(), expect)
+
+
+def test_extract_links_matches_link_maps(ray_session):
+    """The hrefs parsed back out of the html equal the synthesis-side
+    link maps — the crawl-extraction half of pagerank_edges."""
+    import pandas as pd
+
+    from rio_color_ray.pipelines import web
+    from rio_color_ray.sources.pages import link_dsts
+
+    n = web._n_docs(SF)
+    got = (
+        web.extract_links(SF)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    src = np.arange(n, dtype=np.int64)
+    expect = (
+        pd.DataFrame(
+            {
+                "src": np.repeat(src, 3),
+                "dst": np.stack(link_dsts(src, n), axis=1).ravel(),
+            }
+        )
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_pagerank_edges_matches_sql_twin(ray_session, con):
+    """The bucketed-hash-join iteration over the EXTRACTED edge table
+    lands on the identical fixed point as the oracle (and therefore as
+    the arithmetic flat-map pipeline, which shares that oracle)."""
+    from rio_color_ray.pipelines import graph
+
+    out = oracle_check(graph.pagerank_edges(SF), con, graph.pagerank_sql())
+    assert out["rank"].nunique() > 100
+
+
+def test_link_maps_guard_overflow_unsafe_sizes():
+    """link_dsts must refuse node counts where the quadratic map would
+    wrap int64 on the numpy side while DuckDB raises (ADVICE r04)."""
+    from rio_color_ray.sources.pages import LINK_MAX_NODES, link_dsts
+
+    src = np.arange(4, dtype=np.int64)
+    with pytest.raises(ValueError, match="overflow"):
+        link_dsts(src, LINK_MAX_NODES)
+    with pytest.raises(ValueError, match="overflow"):
+        link_dsts(np.array([LINK_MAX_NODES + 1], np.int64), 10)

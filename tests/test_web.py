@@ -1,14 +1,23 @@
-"""Web-corpus page operators vs their DuckDB oracle twins (sf0.001)."""
+"""Web-corpus page operators vs their DuckDB oracle twins.
+
+Parametrized over sf0.001 AND sf0.01 (BASELINE.md's claim; ADVICE r04) —
+both corpora have 500 documents, so the structural asserts hold at both
+while the oracle compare exercises two distinct document tables.
+"""
 
 import pytest
 
-from conftest import SF_SMOKE as SF
-from conftest import duckdb_con, oracle_check
+from conftest import SF_CORRECT, SF_SMOKE, duckdb_con, oracle_check
+
+
+@pytest.fixture(scope="module", params=[SF_SMOKE, SF_CORRECT])
+def SF(request):
+    return request.param
 
 
 @pytest.fixture(scope="module")
-def con():
-    return duckdb_con()
+def con(SF):
+    return duckdb_con(sf=SF)
 
 
 @pytest.fixture(scope="module")
@@ -18,7 +27,7 @@ def cte():
     return pages_sql_cte()
 
 
-def test_extract_text_byte_identical(ray_session, con, cte):
+def test_extract_text_byte_identical(ray_session, con, cte, SF):
     """Extraction from html bytes reproduces the source text column —
     the input_hint's byte-identical-text-per-url invariant, value-checked
     against an oracle that never touches the html."""
@@ -29,7 +38,7 @@ def test_extract_text_byte_identical(ray_session, con, cte):
     assert out["text"].notna().all()
 
 
-def test_host_stats(ray_session, con, cte):
+def test_host_stats(ray_session, con, cte, SF):
     from rio_color_ray.pipelines import web
 
     out = oracle_check(web.host_stats(SF), con, web.host_stats_sql(cte))
@@ -38,7 +47,7 @@ def test_host_stats(ray_session, con, cte):
     assert (out["n_langs"] >= 1).all()
 
 
-def test_latest_page_snapshot(ray_session, con, cte):
+def test_latest_page_snapshot(ray_session, con, cte, SF):
     from rio_color_ray.pipelines import web
 
     out = oracle_check(
@@ -52,7 +61,7 @@ def test_latest_page_snapshot(ray_session, con, cte):
     assert (kept % 4 == 3).all()  # warc_ts increases with doc_id
 
 
-def test_url_canonical_dedup(ray_session, con, cte):
+def test_url_canonical_dedup(ray_session, con, cte, SF):
     from rio_color_ray.pipelines import web
 
     out = oracle_check(
