@@ -22,6 +22,19 @@ state      -- lineage records, checkpointed writes, resume
 
 __version__ = "0.1.0"
 
+# Ray 2.49's block concat tries `hash(pa.Schema)` as a dedup fast path
+# (ray/data/_internal/arrow_ops/transform_pyarrow.py:175) and pyarrow
+# raises "unhashable type: 'dict'" for any schema carrying pandas
+# metadata — which every pandas-written parquet (all the driver's
+# testdata) does. Ray catches it and falls back correctly, but logs a
+# WARNING per concat from every worker. Upstream noise with an in-code
+# fallback, so we drop that one logger to ERROR here.
+import logging as _logging
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(_logging.ERROR)
+
 # Every exchange in this engine wants hash partitioning (key colocation,
 # no ordering); applied at import so the driver's own `ray.init` +
 # `queries()` calls get the tuned executor too. Measurements: ctx.py.

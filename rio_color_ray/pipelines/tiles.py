@@ -29,6 +29,7 @@ import pyarrow as pa
 from ..ctx import shuffle_partitions
 from ..spatial import mercator_tile, tile_pixel
 from ..stages.color_stage import ColorStage, apply_ops_to_tiles
+from ..stages.sampling import splitmix64
 from ..stages.statecache import make_stage_fn
 
 
@@ -78,10 +79,19 @@ def _partial_pixel_counts(z):
         combo = key * (TILE_SIZE * TILE_SIZE) + pix
         uniq, counts = np.unique(combo, return_counts=True)
         tile_key = uniq // (TILE_SIZE * TILE_SIZE)
+        # bucket by a MIXED tile key, not tile_key % B: adjacent tiles
+        # (hot cities) get adjacent raw keys, and the sort-based exchange
+        # range-splits CONTIGUOUS bucket ranges into reduce tasks — with
+        # the raw modulo one range swallowed a whole city (measured 34x
+        # tiles-per-task spread, 3.5s straggler at z10/sf0.1; round-5
+        # profile). splitmix64 decorrelates bucket id from tile
+        # adjacency, so every contiguous bucket range is a uniform
+        # sample of the tile population.
+        bucket = (splitmix64(tile_key) % np.uint64(N_TILE_BUCKETS)).astype(np.int64)
         return pa.table(
             {
                 "tile_key": pa.array(tile_key, pa.int64()),
-                "bucket": pa.array(tile_key % N_TILE_BUCKETS, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
                 "pix": pa.array(uniq % (TILE_SIZE * TILE_SIZE), pa.int64()),
                 "n": pa.array(counts.astype(np.int64), pa.int64()),
             }
@@ -91,13 +101,31 @@ def _partial_pixel_counts(z):
 
 
 def _assemble_bucket(group: pa.Table) -> pa.Table:
-    """All tiles of one hash bucket, assembled vectorized.
+    """All tiles of one bucket RANGE (one exchange block), assembled
+    vectorized.
 
     No per-tile Python: the pixel buffers land in one contiguous uint8
     block wrapped as a FixedSizeBinary array (then cast to binary), and
-    tile ids are built with Arrow string kernels.
+    tile ids are built with Arrow string kernels. Requires only that
+    every partial of a given tile is co-located in the batch — the
+    np.unique over tile_key handles any number of buckets at once.
     """
     import pyarrow.compute as pc
+
+    if group.num_rows == 0:  # an empty boundary range
+        return pa.table(
+            {
+                "tile_id": pa.array([], pa.string()),
+                "z": pa.array([], pa.int32()),
+                "x": pa.array([], pa.int32()),
+                "y": pa.array([], pa.int32()),
+                "band_count": pa.array([], pa.uint8()),
+                "dtype": pa.array([], pa.string()),
+                "width": pa.array([], pa.int32()),
+                "height": pa.array([], pa.int32()),
+                "pixels": pa.array([], pa.binary()),
+            }
+        )
 
     tk = group.column("tile_key").to_numpy()
     pix = group.column("pix").to_numpy()
@@ -151,20 +179,35 @@ def _assemble_bucket(group: pa.Table) -> pa.Table:
 def render_tiles_from(points_ds, z=DEFAULT_ZOOM):
     """Any Dataset with lat/lon columns -> raster tiles at zoom z.
 
-    Partition count: ~8 tasks per core, not ~1. The reduce range-splits
-    1024 discrete bucket values, which quantizes unevenly (at ~CPU-count
-    partitions one partition held 9x the mean tile count and its single
-    1.7s assemble+color task WAS the flagship critical path). Finer
-    partitions cap the max-task size and let stragglers rebalance;
-    per-task overhead is ~ms against ~100ms groups. Measured at sf0.1 /
-    32 CPUs, interleaved same-load runs: z7 3.10s -> 2.55s, z10 4.25s ->
-    3.73s. At cluster scale the N_TILE_BUCKETS cap governs — raise it
-    together with zoom when tiles-per-bucket outgrows a worker's heap.
+    The exchange is ``sort("bucket", boundaries=...)`` with EXPLICIT
+    equal-width bucket ranges + one vectorized assemble call per output
+    block — not ``groupby().map_groups``. Two measured reasons (round-5
+    profile, sf0.1 / 32 CPUs, z10):
+
+    * Under the pinned sort-shuffle strategy ``groupby(...,
+      num_partitions=N)`` IGNORES N (map_groups lowers to a plain
+      ``sort(key)``), and quantile sampling over 1024 discrete bucket
+      values quantized into reduce ranges holding 3-42 buckets each —
+      a 13-34x tiles-per-task spread whose 3.5s straggler WAS the
+      flagship_z10 critical path. Fixed boundaries make every range
+      exactly ``N_TILE_BUCKETS / npart`` buckets, and splitmix64-mixed
+      bucket ids (``_partial_pixel_counts``) make every bucket a
+      uniform tile sample, so tasks are even by construction.
+    * map_groups calls the UDF once per bucket (Python-per-group);
+      the boundary-partitioned map_batches(batch_size=None) assembles a
+      whole range — dozens of buckets — in ONE np.unique/np.add.at
+      pass.
+
+    ``npart`` scales with cluster CPUs (~4 reduce waves); at cluster
+    scale raise N_TILE_BUCKETS together with zoom when a bucket range
+    outgrows a worker's heap.
     """
     partial = points_ds.map_batches(_partial_pixel_counts(z), batch_format="pyarrow")
-    npart = min(N_TILE_BUCKETS, max(64, 8 * shuffle_partitions(cap=N_TILE_BUCKETS)))
-    return partial.groupby("bucket", num_partitions=npart).map_groups(
-        _assemble_bucket, batch_format="pyarrow"
+    npart = min(N_TILE_BUCKETS, max(64, 4 * shuffle_partitions(cap=N_TILE_BUCKETS)))
+    step = N_TILE_BUCKETS / npart
+    boundaries = [round(i * step) for i in range(1, npart)]
+    return partial.sort("bucket", boundaries=boundaries).map_batches(
+        _assemble_bucket, batch_format="pyarrow", batch_size=None
     )
 
 

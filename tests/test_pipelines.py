@@ -261,36 +261,41 @@ def test_embedding_near_dup_exact_matches_ground_truth(ray_session):
 def test_registry_driver_window_keeps_key_oracles():
     """The graft driver value-verifies only the FIRST 50 queries()
     entries: inserting a new query above these must not silently evict
-    the pinned set from the verified window. Round-4 rotation (VERDICT
-    r03 ask #8): the pinned set is now (a) entries that have never had a
-    driver row — the web-corpus family and the round-4 additions, (b)
-    the relational family (last driver-green round 2), and (c) the
-    every-round core: byte-exact tile-content twins + the north-rule
-    geospatial path. The LLM family rotated below the cutoff this round
-    (driver-green in r03; pytest-oracle-pinned every run)."""
+    the pinned set from the verified window. Round-5 (final) rotation
+    (VERDICT r04 #2/#3): the pinned set is (a) entries that have never
+    had a driver row — pagerank_edges (new) and dedup_incremental,
+    (b) the whole round-3-green tail (LLM dedup/ANN/curation/multimodal
+    families, geo variants), so the union of CORRECTNESS_r04 + r05
+    covers every registry entry, and (c) the every-round core:
+    byte-exact tile-content twins + the north-rule geospatial path."""
     from rio_color_ray.registry import queries
 
     window = list(queries())[:50]
     for name in (
         # never driver-verified before this round
-        "extract_text",
-        "host_stats",
-        "latest_page_snapshot",
-        "url_canonical_dedup",
-        "pagerank",
-        "ann_topk_ivf_fullprobe",
-        "embedding_near_dup_exact",
-        "cap_per_source",
-        "length_filter_median",
-        "shuffle_shards",
-        "embedding_dup_clusters",
-        "token_counts_bpe",
-        # relational: fresh hard-signal pass this round
-        "q1_pricing_summary",
-        "sessionize",
-        "asof_join_clicks",
-        "range_join_clicks",
-        "users_click_no_purchase",
+        "pagerank_edges",
+        "dedup_incremental",
+        # last driver-green in round 3 — the final-round sweep must
+        # re-verify them so no entry's last hard signal is >1 round old
+        "top_grid_cells",
+        "dedup_clusters",
+        "near_dup_simhash",
+        "near_dup_jaccard",
+        "ann_topk",
+        "embedding_near_dup",
+        "media_features",
+        "train_test_split",
+        "vocab_top_tokens",
+        "pack_sequences",
+        "decontaminate",
+        "mix_sources",
+        "token_counts",
+        "lang_id",
+        "cell_agg_h8",
+        "pip_join_semi",
+        "knn",
+        "render_tiles",
+        "color_tiles",
         # every-round core
         "color_tiles_content",
         "render_tiles_content",
@@ -299,11 +304,18 @@ def test_registry_driver_window_keeps_key_oracles():
         "cell_agg_salted_h8",
         "rect_join",
         "pip_join",
-        "knn_cells",
         "curate_corpus",
         "near_dup_minhash",
+        "dedup_exact_docs",
     ):
         assert name in window, f"{name} fell out of the driver's 50-entry window"
+
+    # the round-4-green families must still be registered (pytest-pinned
+    # below the cutoff), just not re-verified by the driver this round
+    tail = list(queries())[50:]
+    for name in ("extract_text", "pagerank", "q1_pricing_summary",
+                 "cell_agg_s2", "knn_cells", "token_counts_bpe"):
+        assert name in tail, f"{name} missing from the registry tail"
 
 
 def test_embedding_dup_clusters_matches_reachability(ray_session):
