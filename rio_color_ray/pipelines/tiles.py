@@ -198,12 +198,16 @@ def render_tiles_from(points_ds, z=DEFAULT_ZOOM):
       whole range — dozens of buckets — in ONE np.unique/np.add.at
       pass.
 
-    ``npart`` scales with cluster CPUs (~4 reduce waves); at cluster
-    scale raise N_TILE_BUCKETS together with zoom when a bucket range
-    outgrows a worker's heap.
+    ``npart`` is ~2 reduce tasks per CPU — the measured optimum of an
+    interleaved same-load 1x/2x/4x sweep (32 CPUs, sf0.1: z7
+    2.46/2.55/2.80s, z10 6.06/3.41/3.82s min-of-4). 1x leaves the
+    dense zoom with one straggler wave and no rebalance room; 4x pays
+    ~5-10ms driver-side submission per extra task with nothing left to
+    balance. At cluster scale raise N_TILE_BUCKETS together with zoom
+    when a bucket range outgrows a worker's heap.
     """
     partial = points_ds.map_batches(_partial_pixel_counts(z), batch_format="pyarrow")
-    npart = min(N_TILE_BUCKETS, max(64, 4 * shuffle_partitions(cap=N_TILE_BUCKETS)))
+    npart = min(N_TILE_BUCKETS, max(64, 2 * shuffle_partitions(cap=N_TILE_BUCKETS)))
     step = N_TILE_BUCKETS / npart
     boundaries = [round(i * step) for i in range(1, npart)]
     return partial.sort("bucket", boundaries=boundaries).map_batches(
