@@ -33,9 +33,9 @@ def documents(sf_dir):
     """doc_id + text only: every consumer in this module is a text
     operator — the lang/source/n_chars columns never leave storage
     (VERDICT r03 #5)."""
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
 
 # --- text analysis ----------------------------------------------------------
@@ -95,7 +95,7 @@ def decontaminate(sf_dir, every=DECONTAM_EVERY):
     from ..stages.statecache import process_cached
     from ..stages.text import doc_gram_arrays
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = documents(sf_dir)
 
     def eval_grams(batch: pa.Table) -> pa.Table:
         did = batch.column("doc_id").to_numpy()

@@ -31,8 +31,10 @@ from ..stages.text import _ALPHA_RE, _TOKEN_RE
 def documents(sf_dir, columns=None):
     """``columns=`` pushes projection into the Parquet read — callers
     name exactly what they touch so unused columns never leave storage
-    (VERDICT r03 #5)."""
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    (VERDICT r03 #5). Block count ~1/CPU via io.read_table."""
+    from ..io import read_table
+
+    return read_table(sf_dir, "documents", columns=columns)
 
 
 # --- train/valid/test split -------------------------------------------------
@@ -228,7 +230,7 @@ def vocab_top_tokens(sf_dir, k=VOCAB_K):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = documents(sf_dir, columns=["text"])
     from ..stages.agg import hash_bucket_agg
     from ..stages.topk import topk_rows
 
@@ -347,9 +349,7 @@ def mix_sources(sf_dir):
 
     from ..stages.sampling import splitmix64
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
-    )
+    ds = documents(sf_dir, columns=["doc_id", "source", "text"])
 
     def partial_tokens(batch: pa.Table) -> pd.DataFrame:
         n = pc.cast(
@@ -395,9 +395,7 @@ def mix_sources(sf_dir):
     # phase 2 re-reads WITHOUT text: the filter only touches
     # doc_id/source, and Ray cannot prune columns through a black-box
     # UDF — re-scanning the corpus' dominant column would double the I/O
-    ds_ids = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
-    )
+    ds_ids = documents(sf_dir, columns=["doc_id", "source"])
     return ds_ids.map_batches(keep, batch_format="pyarrow")
 
 
@@ -454,9 +452,7 @@ def tfidf_top_terms(sf_dir, k_vocab=VOCAB_K, m=TFIDF_TOP_M):
 
     vocab = vocab_top_tokens(sf_dir, k=k_vocab).to_pandas()
     vocab_arr = pa.array(sorted(vocab["token"].tolist()))
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    docs = documents(sf_dir, columns=["doc_id", "text"])
     n_docs = docs.count()  # parquet metadata, no scan
 
     def explode_vocab(batch: pa.Table) -> pd.DataFrame:
@@ -593,9 +589,9 @@ def pack_sequences(sf_dir, budget=PACK_BUDGET, n_parts=PACK_PARTS):
     else:  # stats-free file: one distributed min/max pass over doc_id
         from ray.data.aggregate import Max, Min
 
-        bounds = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id"]
-        ).aggregate(Min("doc_id"), Max("doc_id"))
+        bounds = documents(sf_dir, columns=["doc_id"]).aggregate(
+            Min("doc_id"), Max("doc_id")
+        )
         lo, hi = bounds["min(doc_id)"], bounds["max(doc_id)"]
     span = (hi - lo + n_parts) // n_parts  # ceil
 
@@ -604,9 +600,7 @@ def pack_sequences(sf_dir, budget=PACK_BUDGET, n_parts=PACK_PARTS):
         t["part"] = (t["doc_id"].to_numpy() - lo) // span
         return t
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    docs = documents(sf_dir, columns=["doc_id", "text"])
     counted = docs.map_batches(tc, batch_format="pyarrow")
 
     def part_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -707,9 +701,9 @@ def chunk_documents(sf_dir, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP):
             }
         )
 
-    return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(chunks, batch_format="pyarrow")
+    return documents(sf_dir, columns=["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
 
 
 def chunk_documents_sql(size=CHUNK_SIZE, overlap=CHUNK_OVERLAP):

@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..io import read_table
 from ..sources.pages import LINK_FANOUT, link_dsts
 from ..stages.agg import hash_bucket_agg
 
@@ -79,13 +80,9 @@ def pagerank(sf_dir, n_iter=N_ITER):
     One lazy Dataset DAG: n_iter chained flat-map -> bucketed-sum
     rounds over int64 pairs; the pages corpus itself is touched once.
     """
-    import ray.data
-
     n = _n_docs(sf_dir)
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(
+    ds = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         lambda b: pa.table(
             {
                 "doc_id": b.column("doc_id"),
@@ -164,11 +161,7 @@ def pagerank_edges(sf_dir, n_iter=N_ITER, n_buckets=64):
         .materialize()
     )
 
-    import ray.data
-
-    rank = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(
+    rank = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         lambda b: pa.table(
             {
                 "doc_id": b.column("doc_id"),

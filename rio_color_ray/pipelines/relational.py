@@ -43,7 +43,9 @@ def _cast_ts_us(*cols):
 
 
 def _read(sf_dir, name, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from ..io import read_table
+
+    return read_table(sf_dir, name, columns=columns)
 
 
 def _int_cents(col):
