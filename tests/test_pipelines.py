@@ -342,3 +342,45 @@ def test_embedding_dup_clusters_matches_reachability(ray_session):
     # jittered replica -> every cluster has exactly 2 members
     sizes = rdf.groupby("cluster_id").size()
     assert (sizes == 2).all() and len(sizes) * 2 == len(rdf)
+
+
+def test_assemble_bucket_empty_range():
+    """A boundary-partitioned exchange can hand the assemble fn an empty
+    block (an unpopulated bucket range at sparse zooms); it must return
+    the full tile schema with zero rows, not crash or emit a schemaless
+    table that would poison the downstream union."""
+    import pyarrow as pa
+
+    from rio_color_ray.pipelines.tiles import _assemble_bucket
+
+    empty = pa.table(
+        {
+            "tile_key": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "pix": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    out = _assemble_bucket(empty)
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "tile_id", "z", "x", "y", "band_count", "dtype",
+        "width", "height", "pixels",
+    ]
+
+
+def test_read_table_strips_schema_metadata(ray_session):
+    """io.read_table blocks must carry NO pandas schema metadata — the
+    raw parquet schema is unhashable (pyarrow raises on the embedded
+    pandas dict) and triggers Ray's per-concat schema-hash warning in
+    every reduce downstream."""
+    import pyarrow.parquet as pq
+
+    from rio_color_ray.io import read_table
+
+    raw = pq.read_schema(f"{SF}/documents.parquet")
+    assert raw.metadata  # the testdata really does embed pandas metadata
+    ds = read_table(SF, "documents", columns=["doc_id"])
+    batch = next(iter(ds.iter_batches(batch_format="pyarrow", batch_size=4)))
+    assert batch.schema.metadata is None
+    hash(batch.schema)  # hashable now — the property the fix exists for
