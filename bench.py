@@ -78,8 +78,12 @@ def run_bench():
     from rio_color_ray.pipelines.flagship import flagship
 
     # untimed FULL-SIZE warm-up (worker spawn, imports, indexes, page
-    # cache; a small warm pass leaves the first timed run still improving)
+    # cache; a small warm pass leaves the first timed run still
+    # improving). Both zooms: the z10 tile set is 6x the z7 one and its
+    # first pass pays object-store allocation the z7 warm-up doesn't
+    # cover (first z10 sample measured ~0.7s above its siblings).
     flagship(SF_DIR, replicate=REPLICATE).count()
+    flagship(SF_DIR, replicate=REPLICATE, z=SCALING_ZOOM).count()
 
     queries = {}
     # self-interpreting evidence (VERDICT r04 #1): every raw sample and
