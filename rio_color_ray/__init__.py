@@ -27,13 +27,23 @@ __version__ = "0.1.0"
 # raises "unhashable type: 'dict'" for any schema carrying pandas
 # metadata — which every pandas-written parquet (all the driver's
 # testdata) does. Ray catches it and falls back correctly, but logs a
-# WARNING per concat from every worker. Upstream noise with an in-code
-# fallback, so we drop that one logger to ERROR here.
+# WARNING per concat from every worker. Filter THAT message only (not
+# the whole logger: the same module warns on genuinely divergent
+# schemas, which we want to see); io.read_table additionally strips the
+# metadata so most paths never hit it.
 import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    def filter(self, record):  # noqa: A003 - logging API name
+        return not str(record.getMessage()).startswith(
+            "Failed to hash the schemas"
+        )
+
 
 _logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow"
-).setLevel(_logging.ERROR)
+).addFilter(_SchemaHashNoiseFilter())
 
 # Every exchange in this engine wants hash partitioning (key colocation,
 # no ordering); applied at import so the driver's own `ray.init` +

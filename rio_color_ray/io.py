@@ -31,6 +31,16 @@ def _strip_schema_metadata(batch):
     return batch.replace_schema_metadata(None)
 
 
+def table_num_rows(sf_dir, name) -> int:
+    """Row count from parquet metadata — no scan. Single home for the
+    corpus-size probe (pagerank's node count, extract_links' href
+    domain) so the two sides of the embedded link graph can never
+    diverge on n."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+
+
 def read_table(sf_dir, name, columns=None):
     """``read_parquet`` of one testdata table at ~1 block per CPU."""
     return ray.data.read_parquet(

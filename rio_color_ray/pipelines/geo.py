@@ -15,7 +15,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import ray.data
 from ..sources.pages import synth_pages_batch
 from ..sources.polygons import make_admin_polygons, make_admin_rects
 from ..stages.cellify import cellify_batch
@@ -48,21 +47,15 @@ def pages(sf_dir, replicate=1, links_n=0):
     used by the link-graph pipelines; off elsewhere so the geocode/tile
     path never pays for them.
 
-    Block count: ~1 per CPU, not Ray's 2-per-CPU single-file default.
-    The testdata corpus is ONE small parquet file, and Ray's
-    SplitBlocks(2 x CPUs) turns it into 64 ~80-row blocks whose map
-    tasks cost more to dispatch than to run (measured ~0.6s driver-side
-    for a 64-task noop chain vs 0.2s at 8 blocks; interleaved same-load
-    flagship sweep: 32 blocks z7 3.06s / z10 5.68s vs default 4.05 /
-    6.58). On a real many-file corpus the file/row-group count governs
-    and this override is moot.
+    Reads through io.read_table (~1 block per CPU; rationale and
+    measurements there).
     """
-    from ..ctx import shuffle_partitions
+    from ..io import read_table
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+    docs = read_table(
+        sf_dir,
+        "documents",
         columns=["doc_id", "source", "text", "lang"],  # n_chars never used
-        override_num_blocks=shuffle_partitions(cap=256),
     )
     if replicate <= 1:
         return docs.map_batches(

@@ -69,9 +69,9 @@ def _link_sql(n_expr: str) -> list[str]:
 
 
 def _n_docs(sf_dir) -> int:
-    import pyarrow.parquet as pq
+    from ..io import table_num_rows
 
-    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return table_num_rows(sf_dir, "documents")
 
 
 def pagerank(sf_dir, n_iter=N_ITER):

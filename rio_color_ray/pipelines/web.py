@@ -202,12 +202,12 @@ FROM variants GROUP BY 1"""
 
 
 def _n_docs(sf_dir) -> int:
-    import pyarrow.parquet as pq
+    from ..io import table_num_rows
 
-    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return table_num_rows(sf_dir, "documents")
 
 
-def extract_links(sf_dir, replicate=1):
+def extract_links(sf_dir):
     """pages (href-bearing html) -> the ``links(src, dst)`` edge table.
 
     The crawl-side half of PageRank: the source synthesizes pages WITH
@@ -217,6 +217,11 @@ def extract_links(sf_dir, replicate=1):
     capture groups, so K anchored extracts replace one; K is the fixed
     per-page fanout). Exchange-free: edges stream out of the same
     map_batches that parsed them, int64 pairs only.
+
+    Base corpus only (no ``replicate``): the link graph is DEFINED over
+    the n base documents — replica srcs would carry REP_STRIDE-offset
+    ids disjoint from the [0, n) dst domain, so a replicated edge table
+    is incoherent by construction.
     """
     n = _n_docs(sf_dir)
     href_res = [
@@ -241,6 +246,4 @@ def extract_links(sf_dir, replicate=1):
             }
         )
 
-    return pages(sf_dir, replicate=replicate, links_n=n).map_batches(
-        extract, batch_format="pyarrow"
-    )
+    return pages(sf_dir, links_n=n).map_batches(extract, batch_format="pyarrow")
