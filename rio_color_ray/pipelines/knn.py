@@ -46,11 +46,15 @@ def knn(sf_dir, k=5, n_queries=100, concurrency=4):
     """
     doc_id, urls, lat_u, lon_u = _query_side(sf_dir, n_queries)
     pts = cellified(sf_dir, keep_columns=["url", "lat", "lon"])
+    # max_restarts=0: the constructor args live in the object store, and
+    # Ray logs a restartability error for every such actor otherwise
+    # (ray#53727); a lost single-node actor fails the run either way
     partial = pts.map_batches(
         KNNBruteStage,
         fn_constructor_args=(urls, lat_u, lon_u, k),
         batch_format="pyarrow",
         concurrency=(1, concurrency),
+        max_restarts=0,
     )
     ranked = partial.groupby("query_id").map_groups(
         lambda g: topk_per_query(g, k), batch_format="pandas"
@@ -215,6 +219,7 @@ def knn_cells(sf_dir, k=5, n_queries=100, res=6, radius=2, max_rounds=4):
             fn_constructor_args=(sub_urls, lat_u[remaining], lon_u[remaining], k),
             batch_format="pyarrow",
             concurrency=(1, 2),
+            max_restarts=0,
         )
         ranked = (
             sub.groupby("query_id")
