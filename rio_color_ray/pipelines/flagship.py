@@ -34,6 +34,7 @@ def flagship(
             fn_constructor_args=(make_admin_polygons(), "left"),
             batch_format="pyarrow",
             concurrency=(1, concurrency),
+            max_restarts=0,  # ctor args live in the object store (ray#53727)
         )
     else:
         joined = pts.map_batches(

@@ -32,6 +32,7 @@ def _stateful(ds, cls, args, use_actors, concurrency):
             fn_constructor_args=args,
             batch_format="pyarrow",
             concurrency=(1, concurrency),
+            max_restarts=0,  # ctor args live in the object store (ray#53727)
         )
     return ds.map_batches(make_stage_fn(cls, *args), batch_format="pyarrow")
 

@@ -5,20 +5,20 @@ of the reference GeoTIFF: 32x32 uint8 band-major buffers in a binary
 column) -> the rio-color stage applying a DSL program (task-pool with
 per-process parsed state by default; actor pool on request).
 
-Shuffle discipline:
+Shuffle discipline (round-5 design; measurements in BASELINE.md):
 * stage 1 (map_batches): per-batch PARTIAL pixel histograms
   (tile_key, pix, n) — reduces the corpus to at most
   active-pixels-per-tile rows per batch before any exchange.
-* stage 2 (groupby): partials are hash-bucketed by ``tile_key %
-  N_TILE_BUCKETS`` and each bucket is assembled in ONE vectorized call
-  (np.add.at scatter over a (tiles, 1024) matrix) — constant group
-  count, so per-group Python overhead is O(buckets), not O(tiles).
-  Buckets are deliberately much finer than the partition count (1024
-  buckets into ~64+ partitions): hot-city buckets then spread across
-  partitions instead of making one straggler task — measured 14.7s ->
-  10.3s at 8 CPUs on the dense-zoom flagship (BASELINE.md "skew").
-  The downstream assemble+color task count equals the partition count,
-  so num_partitions also sets tail parallelism for the pixel math.
+* stage 2 (boundary-partitioned sort): partials carry ``bucket =
+  splitmix64(tile_key) % N_TILE_BUCKETS`` (the mix decorrelates bucket
+  id from tile adjacency, so hot cities spread uniformly), and ONE
+  ``sort("bucket", boundaries=[...])`` with explicit equal-width
+  ranges co-locates every tile's partials. Each output block — a
+  range of dozens of buckets — is assembled in ONE vectorized call
+  (np.add.at scatter), no per-bucket Python. NOT groupby().map_groups:
+  under the pinned sort-shuffle strategy its num_partitions is ignored
+  and quantile sampling over 1024 discrete values quantizes ranges
+  unevenly (render_tiles_from docstring).
 
 Tile identity is the (z, x, y) triple — never row order.
 """
@@ -49,6 +49,7 @@ def color_stage(tiles_ds, ops, concurrency=4, use_actors=False, out_dtype=None):
             batch_format="pyarrow",
             concurrency=(1, concurrency),
             batch_size=128,
+            max_restarts=0,  # ctor args live in the object store (ray#53727)
         )
     return tiles_ds.map_batches(
         make_stage_fn(ColorStage, ops, out_dtype), batch_format="pyarrow", batch_size=128
