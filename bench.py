@@ -2,9 +2,12 @@
 
 Plain run: times the headline pipelines over $GRAFT_SF_DIR (default
 sf0.1) in a session of $RAY_GRAFT_CPUS CPUs (default 32), after one
-untimed warm-up pass of the full flagship path (worker-process spawn +
-library import are deployment-lifetime costs, not steady-state
-throughput).
+untimed warm-up pass of the full flagship path at each zoom
+(worker-process spawn + library import + object-store allocation are
+deployment-lifetime costs, not steady-state throughput). The emitted
+JSON carries an evidence block — every raw sample, the 1-min loadavg
+bracketing each run, and the settle-gate outcome — so a reading taken
+under ambient load is identifiable from the artifact alone.
 
 ``--scaling``: the sandbox protocol for the north_rule's N-vs-4N-node
 criterion — the same flagship job (replicate=40, z=10, compute-bound) at
