@@ -132,6 +132,30 @@ def test_dictionary_path_four_band_uint16_exact():
     assert got == want
 
 
+def test_dictionary_path_declines_unknown_op():
+    # an op not on the per-pixel whitelist (e.g. a future spatial kernel)
+    # must force the full-image path even on low-cardinality input
+    from rio_color_ray.stages.color_stage import _dictionary_apply
+
+    def box_blur(arr):  # name not in _PER_PIXEL_OPS
+        return arr
+
+    palette = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    raw = np.ascontiguousarray(
+        palette[np.zeros(8 * 8, dtype=np.int64)].reshape(8, 8, 3).transpose(2, 0, 1)
+    )
+    lut = np.tile(np.linspace(0.0, 1.0, 256), (3, 1))
+    assert (
+        _dictionary_apply(raw, lut, [box_blur], np.dtype("uint8"), "uint8") is None
+    )
+    # sanity: the same call with a whitelisted tail takes the path
+    sat = parse_operations("saturation 1.1")
+    assert (
+        _dictionary_apply(raw, lut, list(sat), np.dtype("uint8"), "uint8")
+        is not None
+    )
+
+
 def test_every_code_value_roundtrips_identity():
     # identity program: LUT path must reproduce every input byte exactly
     ops = parse_operations("gamma rgb 1.0")
